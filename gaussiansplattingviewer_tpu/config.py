@@ -1,0 +1,101 @@
+"""Render configuration for the TPU splatting pipeline.
+
+The reference scatters its configuration over ~20 module-level globals and GL
+uniforms (main.py:73-99, renderer_ogl.py:148-152).  Here everything that
+parameterizes a render is one hashable dataclass so it can be a static argument
+to ``jax.jit`` without recompilation churn.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+
+class RenderMode(enum.IntEnum):
+    """Render modes, numerically identical to the reference's ``render_mod`` uniform.
+
+    Reference semantics (shaders/gau_vert.glsl:53, shaders/gau_frag.glsl:8):
+      ``mod >= 0``  render SH bands 0..mod (SH:0, SH:0~1, SH:0~2, SH:0~3)
+      ``mod == -1`` stereo-disparity image (gau_vert.glsl:182-211)
+      ``mod == -2`` billboard: solid quad, alpha=1 (gau_frag.glsl:15-19)
+      ``mod == -3`` flat ball: alpha thresholded at 0.22 (gau_frag.glsl:32-33)
+      ``mod == -4`` gaussian ball: thresholded + darkened by exp(power)
+                    (gau_frag.glsl:34-38)
+    """
+
+    SH0 = 0
+    SH1 = 1
+    SH2 = 2
+    SH3 = 3
+    DEPTH = -1          # stereo disparity, grayscale
+    BILLBOARD = -2
+    FLAT_BALL = -3
+    GAUSSIAN_BALL = -4
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    """Static render parameters (hashable: usable as a jit static argument).
+
+    Attributes:
+      width, height: output resolution in pixels (ref default 1160x522,
+        main.py:634-635).
+      mode: one of RenderMode; default SH3 = full SH degree-3 color.
+      scale_modifier: global multiplier on Gaussian scales (ref
+        renderer_ogl.py:148-149; slider in main.py).
+      tile_size: rasterizer tile edge in pixels. The reference CUDA library
+        uses 16; on TPU 16x16=256 pixels maps to two 8x128 VPU registers.
+      max_tiles_per_gaussian: static cap on how many tiles a single splat may
+        be duplicated into (XLA needs static shapes; splats covering more
+        tiles are clamped to their nearest tiles).
+      dup_factor: average tile-duplicates budgeted per Gaussian. The
+        duplicated key buffer has static size ``dup_factor * N`` (padded).
+      stereo_baseline: world-space x offset used by DEPTH mode
+        (ref gau_vert.glsl:184 hardcodes -0.5; gau_vert_2/3 use -0.3/-0.5).
+      depth_scale_inflate: extra scale multiplier applied in DEPTH mode
+        (ref gau_vert.glsl:153 multiplies by 1.2).
+      background: background intensity for all three channels (ref clear
+        color 0, main.py:821; CUDA bg tensor renderer_cuda.py:109).
+      clamp_color: if True, clamp per-Gaussian RGB at 0 like the INRIA CUDA
+        rasterizer (computeColorFromSH's max(result+0.5, 0)); if False keep
+        the GL path's unclamped vertex color (gau_vert.glsl:250).
+      ndc_cull_limit: |ndc| culling threshold (ref gau_vert.glsl:142 uses 1.3).
+      alpha_clamp: per-fragment alpha ceiling (ref gau_frag.glsl:24 uses 0.99).
+      alpha_min: minimum contributing alpha (ref gau_frag.glsl:25 uses 1/255).
+      ball_threshold: alpha threshold for the ball modes (gau_frag.glsl:33).
+      early_stop_transmittance: terminate a pixel once transmittance drops
+        below this (the CUDA rasterizer uses 1e-4).
+    """
+
+    width: int = 1160
+    height: int = 522
+    mode: RenderMode = RenderMode.SH3
+    scale_modifier: float = 1.0
+    tile_size: int = 16
+    max_tiles_per_gaussian: int = 64
+    dup_factor: int = 8
+    stereo_baseline: float = -0.5
+    depth_scale_inflate: float = 1.2
+    background: float = 0.0
+    clamp_color: bool = True
+    ndc_cull_limit: float = 1.3
+    alpha_clamp: float = 0.99
+    alpha_min: float = 1.0 / 255.0
+    ball_threshold: float = 0.22
+    early_stop_transmittance: float = 1e-4
+
+    @property
+    def tiles_x(self) -> int:
+        return -(-self.width // self.tile_size)
+
+    @property
+    def tiles_y(self) -> int:
+        return -(-self.height // self.tile_size)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.tiles_x * self.tiles_y
+
+    def with_(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)

@@ -1,0 +1,116 @@
+"""Tile-binned rasterizer tests: binning invariants + allclose vs oracle.
+
+This automates the comparison the reference could only do by eye via its
+backend-switch flip test (README.md:55)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
+from gaussiansplattingviewer_tpu.models import naive_gaussian, random_scene
+from gaussiansplattingviewer_tpu.ops import binning
+from gaussiansplattingviewer_tpu.ops.projection import project
+from gaussiansplattingviewer_tpu.ops.render import render
+from gaussiansplattingviewer_tpu.utils import transforms as tf
+from gaussiansplattingviewer_tpu.utils.camera import Camera
+
+
+def _setup(cfg, scene=None):
+    if scene is None:
+        scene, _, _ = naive_gaussian()
+    cam = Camera(h=cfg.height, w=cfg.width)
+    view = tf.look_at([0, 0, 3], [0, 0, 0], [0, -1, 0])
+    proj = cam.get_project_matrix()
+    cam_pos = np.array([0, 0, 3.0], np.float32)
+    return scene.to_device(), view, proj, cam_pos
+
+
+def test_binning_invariants():
+    cfg = RenderConfig(width=160, height=96)
+    scene, view, proj, cam_pos = _setup(cfg)
+    sp = project(scene, view, proj, cam_pos, cfg)
+    b = binning.bin_splats(sp, cfg)
+    starts = np.asarray(b.tile_starts)
+    assert starts.shape == (cfg.num_tiles + 1,)
+    assert np.all(np.diff(starts) >= 0)
+    assert int(b.overflow) == 0
+    assert int(b.num_duplicates) == starts[-1]
+    # every live table row has the depth column populated and rows within
+    # a tile are depth-ascending (front-to-back)
+    table = np.asarray(b.table)
+    for t in range(cfg.num_tiles):
+        seg = table[starts[t] : starts[t + 1], binning.COL_DEPTH]
+        assert np.all(np.diff(seg) >= 0), f"tile {t} not depth sorted"
+    # visible naive splats produce at least one duplicate each
+    assert starts[-1] >= 3
+
+
+def test_tile_center_membership():
+    """The tile containing the image center must reference the two centered
+    splats (magenta depth 3, blue depth 2), nearest first."""
+    cfg = RenderConfig(width=160, height=96)
+    scene, view, proj, cam_pos = _setup(cfg)
+    sp = project(scene, view, proj, cam_pos, cfg)
+    b = binning.bin_splats(sp, cfg)
+    starts = np.asarray(b.tile_starts)
+    tx = (cfg.width // 2) // cfg.tile_size
+    ty = (cfg.height // 2) // cfg.tile_size
+    t = ty * cfg.tiles_x + tx
+    seg = np.asarray(b.table)[starts[t] : starts[t + 1]]
+    depths = seg[:, binning.COL_DEPTH]
+    assert len(depths) >= 2
+    assert np.isclose(depths[0], 2.0, atol=1e-5)  # blue first (nearest)
+    assert np.any(np.isclose(depths, 3.0, atol=1e-5))
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [
+        RenderMode.SH0,
+        RenderMode.SH3,
+        RenderMode.DEPTH,
+        RenderMode.BILLBOARD,
+        RenderMode.FLAT_BALL,
+        RenderMode.GAUSSIAN_BALL,
+    ],
+)
+def test_tile_matches_oracle_naive(mode):
+    cfg = RenderConfig(width=160, height=96, mode=mode, background=0.1)
+    scene, view, proj, cam_pos = _setup(cfg)
+    img_o = np.asarray(render(scene, view, proj, cam_pos, cfg, backend="oracle"))
+    img_t = np.asarray(render(scene, view, proj, cam_pos, cfg, backend="tile"))
+    np.testing.assert_allclose(img_t, img_o, atol=1e-5)
+
+
+def test_tile_matches_oracle_random_scene():
+    """2000 random splats, SH deg 3, non-tile-aligned resolution."""
+    cfg = RenderConfig(width=150, height=90)
+    scene = random_scene(2000, sh_degree=3, seed=11, extent=2.5, mean_scale=0.05)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    img_o = np.asarray(render(scene_d, view, proj, cam_pos, cfg, backend="oracle"))
+    img_t = np.asarray(render(scene_d, view, proj, cam_pos, cfg, backend="tile"))
+    assert img_o.max() > 0.05  # scene is actually visible
+    np.testing.assert_allclose(img_t, img_o, atol=2e-4)
+
+
+def test_tile_padded_scene_matches_unpadded():
+    cfg = RenderConfig(width=160, height=96)
+    scene = random_scene(500, sh_degree=1, seed=3, extent=2.0, mean_scale=0.05)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    img_a = np.asarray(render(scene_d, view, proj, cam_pos, cfg, backend="tile"))
+    padded = scene.pad_to_multiple(256).to_device()
+    img_b = np.asarray(render(padded, view, proj, cam_pos, cfg, backend="tile"))
+    np.testing.assert_allclose(img_a, img_b, atol=1e-6)
+
+
+def test_dup_overflow_counted():
+    """A huge splat covering everything must trip the overflow counter,
+    not crash or drop the frame."""
+    cfg = RenderConfig(width=160, height=96, max_tiles_per_gaussian=4)
+    scene, view, proj, cam_pos = _setup(cfg)
+    scene.scale = jnp.asarray(scene.scale) * 50.0
+    sp = project(scene, view, proj, cam_pos, cfg)
+    b = binning.bin_splats(sp, cfg)
+    assert int(b.overflow) > 0
+    assert int(b.num_duplicates) <= 4 * len(scene.xyz)
