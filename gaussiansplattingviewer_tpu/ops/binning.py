@@ -50,16 +50,23 @@ COL_RX, COL_RY = 9, 10
 COL_DEPTH = 11
 
 
+# Per-tile segments are padded to this many splats so that every chunk DMA
+# in the Pallas kernels starts lane-aligned (128 f32 = one TPU lane tile).
+SEGMENT_ALIGN = 128
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BinnedSplats:
     """Contiguous, depth-ordered per-tile splat lists.
 
-    table: (D + pad, TABLE_WIDTH) f32 — splat rows in sorted buffer order;
-      the trailing ``chunk_pad`` zero rows let blend kernels read fixed-size
-      chunks without bounds clamping.
-    tile_starts: (num_tiles + 1,) i32 — tile t owns rows
-      [tile_starts[t], tile_starts[t+1]).
+    table: (Dpad, TABLE_WIDTH) f32 — splat rows; tile t's live rows occupy
+      [tile_starts[t], tile_starts[t] + tile_counts[t]), followed by zero
+      rows up to tile_starts[t+1] (segments are SEGMENT_ALIGN-padded so TPU
+      DMA slices are lane-aligned; zero rows have opacity 0 and blend as
+      no-ops).
+    tile_starts: (num_tiles + 1,) i32 — padded segment boundaries.
+    tile_counts: (num_tiles,) i32 — live rows per tile.
     num_duplicates: () i32 — total live entries (diagnostics).
     overflow: () i32 — splats whose tile span was clamped by the static
       ``max_tiles_per_gaussian`` cap (diagnostics; 0 in normal operation).
@@ -67,15 +74,25 @@ class BinnedSplats:
 
     table: jax.Array
     tile_starts: jax.Array
+    tile_counts: jax.Array
     num_duplicates: jax.Array
     overflow: jax.Array
 
 
-def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig):
-    """Per-splat tile-index bbox (x0, y0, w, h) clamped to the grid and to
-    the static duplicate cap.  Returns (x0, y0, w, h, count, overflowed)."""
+def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
+    """Per-splat tile-index bbox clamped to the grid, to the tile-row window
+    [ty_lo, ty_hi) (used by the multi-chip row sharding; defaults to the
+    full grid), and to the static duplicate cap.
+
+    Returns (x0, y0_local, w, h, count, overflowed) where y0_local is
+    relative to ty_lo.
+    """
     ts = float(cfg.tile_size)
     tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
+    if ty_hi is None:
+        ty_hi = ty_n
+    ty_lo = jnp.asarray(ty_lo, jnp.int32)
+    ty_hi = jnp.asarray(ty_hi, jnp.int32)
     cx, cy = splats.mean2d[:, 0], splats.mean2d[:, 1]
     rx, ry = splats.radius[:, 0], splats.radius[:, 1]
 
@@ -84,12 +101,12 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig):
     y0 = jnp.floor((cy - ry) / ts).astype(jnp.int32)
     y1 = jnp.floor((cy + ry) / ts).astype(jnp.int32)
 
-    # drop splats entirely outside the image
-    onscreen = (x1 >= 0) & (x0 < tx_n) & (y1 >= 0) & (y0 < ty_n)
+    # drop splats entirely outside this device's window
+    onscreen = (x1 >= 0) & (x0 < tx_n) & (y1 >= ty_lo) & (y0 < ty_hi)
     x0 = jnp.clip(x0, 0, tx_n - 1)
     x1 = jnp.clip(x1, 0, tx_n - 1)
-    y0 = jnp.clip(y0, 0, ty_n - 1)
-    y1 = jnp.clip(y1, 0, ty_n - 1)
+    y0 = jnp.clip(y0, ty_lo, ty_hi - 1)
+    y1 = jnp.clip(y1, ty_lo, ty_hi - 1)
 
     w = x1 - x0 + 1
     h = y1 - y0 + 1
@@ -101,7 +118,7 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig):
     h_c = jnp.minimum(h, jnp.maximum(kmax // jnp.maximum(w_c, 1), 1))
     # recenter the clamped window on the splat's own tile
     ctx = jnp.clip((cx / ts).astype(jnp.int32), 0, tx_n - 1)
-    cty = jnp.clip((cy / ts).astype(jnp.int32), 0, ty_n - 1)
+    cty = jnp.clip((cy / ts).astype(jnp.int32), ty_lo, ty_hi - 1)
     x0 = jnp.where(
         overflowed,
         jnp.clip(ctx - w_c // 2, 0, tx_n - w_c),
@@ -109,7 +126,7 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig):
     )
     y0 = jnp.where(
         overflowed,
-        jnp.clip(cty - h_c // 2, 0, ty_n - h_c),
+        jnp.clip(cty - h_c // 2, ty_lo, ty_hi - h_c),
         y0,
     )
     w = jnp.where(overflowed, w_c, w)
@@ -117,7 +134,7 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig):
 
     live = splats.valid & onscreen
     count = jnp.where(live, w * h, 0)
-    return x0, y0, w, h, count, overflowed & live
+    return x0, y0 - ty_lo, w, h, count, overflowed & live
 
 
 def pack_table(splats: ProjectedSplats) -> jax.Array:
@@ -141,15 +158,29 @@ def pack_table(splats: ProjectedSplats) -> jax.Array:
     return cols
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "chunk_pad"))
+@functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
 def bin_splats(
-    splats: ProjectedSplats, cfg: RenderConfig, chunk_pad: int = 64
+    splats: ProjectedSplats,
+    cfg: RenderConfig,
+    row_offset=0,
+    local_rows: int | None = None,
 ) -> BinnedSplats:
-    """Build depth-ordered per-tile lists (see module docstring)."""
+    """Build depth-ordered per-tile lists (see module docstring).
+
+    row_offset / local_rows select a horizontal band of ``local_rows`` tile
+    rows starting at tile row ``row_offset`` — the unit of multi-chip image
+    sharding (parallel/).  Defaults cover the whole image.  ``local_rows``
+    is static (shapes depend on it); ``row_offset`` may be traced
+    (e.g. lax.axis_index inside shard_map).
+    """
     n = splats.depth.shape[0]
     cap = cfg.dup_factor * n
-    num_tiles = cfg.num_tiles
+    if local_rows is None:
+        local_rows = cfg.tiles_y
+    num_tiles = local_rows * cfg.tiles_x
     sentinel = jnp.int32(num_tiles)
+    # static capacity of the segment-padded table
+    dpad = cap + SEGMENT_ALIGN * num_tiles
 
     # ---- 1. depth sort (nearest first; invalid splats to the end).
     # Replaces the reference's per-frame CUDA argsort round trip
@@ -158,8 +189,11 @@ def bin_splats(
     order = jnp.argsort(depth_key)
     sorted_splats = jax.tree.map(lambda a: a[order], splats)
 
-    # ---- 2. spans and offsets
-    x0, y0, w, h, count, overflowed = tile_bbox(sorted_splats, cfg)
+    # ---- 2. spans and offsets (y0 is local to the row window)
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    x0, y0, w, h, count, overflowed = tile_bbox(
+        sorted_splats, cfg, ty_lo=row_offset, ty_hi=row_offset + local_rows
+    )
     offsets = jnp.cumsum(count) - count  # exclusive
     total = jnp.minimum(offsets[-1] + count[-1], cap)
 
@@ -192,24 +226,41 @@ def bin_splats(
     tile_sorted = tile_buf[perm]
     row_sorted = row_buf[perm]
 
-    # ---- 5. ranges + gathered attribute table
-    tile_starts = jnp.searchsorted(
+    # ---- 5. segment-aligned placement.  Raw ranges via searchsorted, then
+    # each tile's segment start is rounded up to SEGMENT_ALIGN so Pallas
+    # chunk DMAs are lane-aligned; entries move to
+    # padded_start[tile] + rank-within-tile.
+    starts_raw = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-
-    table_src = pack_table(sorted_splats)
-    table = table_src[row_sorted]
-    # zero out dead rows (sentinel region) so blend kernels see opacity 0,
-    # then pad so chunked reads never run off the end
-    dead = (tile_sorted >= sentinel)[:, None]
-    table = jnp.where(dead, 0.0, table)
-    table = jnp.concatenate(
-        [table, jnp.zeros((chunk_pad, TABLE_WIDTH), jnp.float32)], axis=0
+    counts = jnp.diff(starts_raw)  # (T,)
+    padded_len = (
+        (counts + (SEGMENT_ALIGN - 1)) // SEGMENT_ALIGN
+    ) * SEGMENT_ALIGN
+    tile_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_len).astype(jnp.int32)]
     )
+
+    live = tile_sorted < sentinel
+    tile_clipped = jnp.minimum(tile_sorted, sentinel - 1)
+    rank = jnp.arange(cap, dtype=jnp.int32) - starts_raw[tile_clipped]
+    new_pos = jnp.where(live, tile_starts[tile_clipped] + rank, dpad)
+
+    # inverse map: padded position -> source splat row (n = zero row)
+    inv = jnp.full((dpad,), n, jnp.int32)
+    inv = inv.at[new_pos].set(row_sorted, mode="drop")
+
+    # ---- 6. gathered attribute table (zero row for padding positions)
+    table_src = pack_table(sorted_splats)
+    table_z = jnp.concatenate(
+        [table_src, jnp.zeros((1, TABLE_WIDTH), jnp.float32)], axis=0
+    )
+    table = table_z[inv]
 
     return BinnedSplats(
         table=table,
         tile_starts=tile_starts,
+        tile_counts=counts,
         num_duplicates=total.astype(jnp.int32),
         overflow=jnp.sum(overflowed).astype(jnp.int32),
     )

@@ -1,0 +1,297 @@
+"""Pallas TPU kernel: fused tile-blend backward pass.
+
+Implements the gradient semantics documented in ops/blend.py (the
+diff-gaussian-rasterization backward the reference links but never runs,
+renderer_cuda.py:214) as a front-to-back RE-TRAVERSAL: no per-splat
+residuals are stored — each tile streams its splat rows again, recomputes
+alpha/transmittance, and emits per-row gradients for (center, conic,
+opacity, color) with the streaming identity g.S_i = g.out - g.A_i.
+
+Layout mirrors the forward kernel (tile_raster_fwd.py): pixels on sublanes,
+splats on lanes, attribute-major (16, Dpad) table, lane-aligned chunk DMAs.
+Each table row belongs to exactly one tile, so gradient rows are pure
+writes — no atomics, no collisions.  The output buffer is zero-initialized
+through input/output aliasing so rows of chunks skipped by the
+transmittance early-stop (which contributed nothing in the forward) keep
+exactly zero gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
+from gaussiansplattingviewer_tpu.ops import binning
+from gaussiansplattingviewer_tpu.ops.binning import SEGMENT_ALIGN, TABLE_WIDTH
+from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
+    _exclusive_cumprod_lanes,
+)
+
+CHUNK = SEGMENT_ALIGN
+N_BUF = 2
+
+
+def _inclusive_cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Inclusive prefix sum along axis 1 (Hillis-Steele roll-add scan)."""
+    s = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    y = x
+    d = 1
+    while d < s:
+        y = y + jnp.where(col >= d, pltpu.roll(y, shift=d, axis=1), 0.0)
+        d *= 2
+    return y
+
+
+def _bwd_kernel(
+    starts_ref,  # scalar prefetch (T+1,)
+    counts_ref,  # scalar prefetch (T,)
+    rowoff_ref,  # scalar prefetch (1,) tile-row offset of this shard
+    g_ref,  # VMEM block (1, P, 4): [g_rgb | g_trans]
+    out_res_ref,  # VMEM block (1, P, 4): forward [rgb | trans]
+    table_ref,  # ANY (16, Dpad)
+    gtable_init_ref,  # ANY (16, Dpad) zeros, aliased to output
+    gtable_ref,  # ANY (16, Dpad) output
+    scratch,  # VMEM (N_BUF, 16, CHUNK)
+    gscratch,  # VMEM (16, CHUNK)
+    sems,  # DMA (N_BUF,)
+    out_sem,  # DMA ()
+    *,
+    cfg: RenderConfig,
+):
+    del gtable_init_ref
+    t = pl.program_id(0)
+    p = cfg.tile_size * cfg.tile_size
+    start = starts_ref[t]
+    n = counts_ref[t]
+    num_chunks = pl.cdiv(n, CHUNK)
+    mode = int(cfg.mode)
+    b = binning
+
+    ts = cfg.tile_size
+    tx = (t % cfg.tiles_x).astype(jnp.float32)
+    ty = (t // cfg.tiles_x + rowoff_ref[0]).astype(jnp.float32)
+    local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = tx * ts + jax.lax.rem(local, ts).astype(jnp.float32) + 0.5
+    py = ty * ts + jax.lax.div(local, ts).astype(jnp.float32) + 0.5
+
+    g_rgb = g_ref[0, :, 0:3]  # (P, 3)
+    g_trans = g_ref[0, :, 3:4]  # (P, 1)
+    out_rgb = out_res_ref[0, :, 0:3]
+    out_trans = out_res_ref[0, :, 3:4]
+    gdot_out = jnp.sum(g_rgb * out_rgb, axis=1, keepdims=True)  # (P, 1)
+
+    def get_dma(slot, chunk_idx):
+        offset = pl.multiple_of(start + chunk_idx * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(offset, CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    def put_dma(chunk_idx):
+        offset = pl.multiple_of(start + chunk_idx * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            gscratch,
+            gtable_ref.at[:, pl.ds(offset, CHUNK)],
+            out_sem,
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        ci, trans, a_dot = state
+        return (ci < num_chunks) & (
+            jnp.max(trans) > cfg.early_stop_transmittance
+        )
+
+    def body(state):
+        ci, trans, a_dot = state
+        slot = jax.lax.rem(ci, N_BUF)
+        next_slot = jax.lax.rem(ci + 1, N_BUF)
+
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            get_dma(next_slot, ci + 1).start()
+
+        get_dma(slot, ci).wait()
+        rows = scratch[slot]  # (16, CHUNK)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        live = (ci * CHUNK + col) < n
+
+        cx = rows[b.COL_CX : b.COL_CX + 1, :]
+        cy = rows[b.COL_CY : b.COL_CY + 1, :]
+        ca = rows[b.COL_A : b.COL_A + 1, :]
+        cb = rows[b.COL_B : b.COL_B + 1, :]
+        cc = rows[b.COL_C : b.COL_C + 1, :]
+        op = rows[b.COL_OPACITY : b.COL_OPACITY + 1, :]
+        rx = rows[b.COL_RX : b.COL_RX + 1, :]
+        ry = rows[b.COL_RY : b.COL_RY + 1, :]
+        colors = rows[b.COL_R : b.COL_BCH + 1, :]  # (3, S)
+
+        dx = px - cx  # (P, S)
+        dy = py - cy
+        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+        in_rect = (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry) & live
+
+        if mode == RenderMode.BILLBOARD:
+            alpha = jnp.where(in_rect, 1.0, 0.0)
+            gauss = jnp.ones_like(alpha)
+            unclamped = jnp.zeros_like(in_rect)
+        else:
+            gauss = jnp.exp(power)
+            raw = op * gauss
+            alpha = jnp.minimum(cfg.alpha_clamp, raw)
+            keep = in_rect & (power <= 0.0) & (alpha >= cfg.alpha_min)
+            alpha = jnp.where(keep, alpha, 0.0)
+            if mode in (RenderMode.FLAT_BALL, RenderMode.GAUSSIAN_BALL):
+                alpha = jnp.where(
+                    keep & (alpha > cfg.ball_threshold), 1.0, 0.0
+                )
+                unclamped = jnp.zeros_like(keep)
+            else:
+                unclamped = keep & (raw < cfg.alpha_clamp)
+
+        one_m = 1.0 - alpha
+        prefix = _exclusive_cumprod_lanes(one_m)
+        t_i = prefix * trans  # (P, S)
+        w = alpha * t_i
+
+        # g . c_i : (P, 3) x (3, S) on the MXU
+        g_dot_c = jax.lax.dot_general(
+            g_rgb,
+            colors,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        u = w * g_dot_c
+        a_dot_inc = a_dot + _inclusive_cumsum_lanes(u)  # (P, S)
+
+        one_m_safe = jnp.maximum(one_m, 1.0 - cfg.alpha_clamp)
+        dl_da = (
+            t_i * g_dot_c
+            - (gdot_out - a_dot_inc) / one_m_safe
+            - g_trans * out_trans / one_m_safe
+        )
+        dl_da = jnp.where(alpha > 0.0, dl_da, 0.0)
+
+        if mode in (
+            RenderMode.BILLBOARD,
+            RenderMode.FLAT_BALL,
+            RenderMode.GAUSSIAN_BALL,
+        ):
+            w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
+            g_col = jax.lax.dot_general(
+                w_c,
+                g_rgb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S, 3)
+            gscratch[:, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
+            gscratch[b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(g_col, (1, 0))
+        else:
+            d_power = jnp.where(unclamped, dl_da * op * gauss, 0.0)
+            g_op = jnp.sum(
+                jnp.where(unclamped, dl_da * gauss, 0.0),
+                axis=0,
+                keepdims=True,
+            )
+            g_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
+            g_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
+            g_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
+            g_cx = jnp.sum(
+                d_power * (ca * dx + cb * dy), axis=0, keepdims=True
+            )
+            g_cy = jnp.sum(
+                d_power * (cc * dy + cb * dx), axis=0, keepdims=True
+            )
+            # (S, P) x (P, 3) -> per-splat color grads, on the MXU
+            g_col = jax.lax.dot_general(
+                w,
+                g_rgb,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S, 3)
+
+            gscratch[:, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
+            gscratch[b.COL_CX : b.COL_CX + 1, :] = g_cx
+            gscratch[b.COL_CY : b.COL_CY + 1, :] = g_cy
+            gscratch[b.COL_A : b.COL_A + 1, :] = g_ca
+            gscratch[b.COL_B : b.COL_B + 1, :] = g_cb
+            gscratch[b.COL_C : b.COL_C + 1, :] = g_cc
+            gscratch[b.COL_OPACITY : b.COL_OPACITY + 1, :] = g_op
+            gscratch[b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(g_col, (1, 0))
+
+        put = put_dma(ci)
+        put.start()
+        put.wait()
+
+        trans = trans * prefix[:, -1:] * one_m[:, -1:]
+        a_dot = a_dot_inc[:, -1:]
+        return ci + 1, trans, a_dot
+
+    init = (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
+    ci, _, _ = jax.lax.while_loop(cond, body, init)
+
+    @pl.when(ci < num_chunks)
+    def _():
+        get_dma(jax.lax.rem(ci, N_BUF), ci).wait()
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
+def blend_bwd_pallas(
+    table, starts, counts, row_offset, g_rgb, g_trans, out_rgb, out_trans,
+    cfg: RenderConfig, local_rows: int | None = None,
+):
+    """table (Dpad, 16) row-major; returns g_table (Dpad, 16)."""
+    p = cfg.tile_size * cfg.tile_size
+    if local_rows is None:
+        local_rows = cfg.tiles_y
+    num_tiles = local_rows * cfg.tiles_x
+    dpad = table.shape[0]
+
+    table_soa = table.T  # (16, Dpad)
+    g_packed = jnp.concatenate([g_rgb, g_trans[..., None]], axis=-1)
+    out_packed = jnp.concatenate([out_rgb, out_trans[..., None]], axis=-1)
+    gtable_zero = jnp.zeros((TABLE_WIDTH, dpad), jnp.float32)
+
+    rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    g_table_soa = pl.pallas_call(
+        functools.partial(_bwd_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct((TABLE_WIDTH, dpad), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={6: 0},  # zeros input -> output buffer
+        interpret=(jax.default_backend() == "cpu"),
+    )(starts, counts, rowoff, g_packed, out_packed, table_soa, gtable_zero)
+
+    return g_table_soa.T  # back to (Dpad, 16)

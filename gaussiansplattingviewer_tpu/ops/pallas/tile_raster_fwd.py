@@ -1,0 +1,228 @@
+"""Pallas TPU kernel: per-tile front-to-back alpha-blend forward pass.
+
+The TPU-native replacement for the reference's per-fragment GL blend
+(shaders/gau_frag.glsl + fixed-function SRC_ALPHA blending,
+renderer_ogl.py:128-130) and for the CUDA library's one-thread-block-per-tile
+rasterization loop (SURVEY.md §3.4).
+
+Data layout is chosen for Mosaic's tiling rules (pallas_guide.md):
+  * the splat table is streamed ATTRIBUTE-MAJOR — shape (16, Dpad) — and
+    binning pads every tile segment to SEGMENT_ALIGN=128 splats, so each
+    chunk DMA is a fully lane-aligned (16, 128) block (arbitrary per-splat
+    offsets cannot be sliced on TPU);
+  * inside the kernel, pixels live on SUBLANES and splats on LANES: a chunk
+    computes a (256 px, 128 splat) alpha block with pure broadcasts — no
+    transposes anywhere in the hot loop;
+  * order-dependent compositing is factorized with an exclusive prefix
+    product along the splat lanes (masked Hillis-Steele scan of 7 VPU
+    multiplies — cumprod has no TPU lowering);
+  * the color accumulation is a (256,128) x (128,3) matmul on the MXU;
+  * chunks are double-buffered (DMA chunk i+1 in flight while chunk i
+    blends) and the loop exits early once the tile's max transmittance
+    drops below cfg.early_stop_transmittance (the CUDA rasterizer's T<1e-4
+    termination).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
+from gaussiansplattingviewer_tpu.ops import binning
+from gaussiansplattingviewer_tpu.ops.binning import SEGMENT_ALIGN, TABLE_WIDTH
+
+CHUNK = SEGMENT_ALIGN  # 128 splats per inner iteration (one lane tile)
+N_BUF = 2  # double buffering
+
+
+def _exclusive_cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+    """Exclusive prefix product along axis 1 (the splat/lane axis).
+
+    cumprod has no Pallas TPU lowering; this is a masked Hillis-Steele scan:
+    shift-in a leading 1, then log2(S) roll-multiply steps (8 VPU ops for
+    S=128 on the whole block)."""
+    s = x.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    y = jnp.where(col >= 1, pltpu.roll(x, shift=1, axis=1), 1.0)
+    d = 1
+    while d < s:
+        y = y * jnp.where(col >= d, pltpu.roll(y, shift=d, axis=1), 1.0)
+        d *= 2
+    return y
+
+
+def _chunk_blend(rows, px, py, rgb, trans, live, cfg: RenderConfig):
+    """Blend one (16, 128) attribute chunk into the tile accumulators.
+
+    rows: (16, 128) — attribute-major chunk (row j = attribute j of 128
+      splats); px/py: (P, 1) pixel-center coords; rgb: (P, 3);
+      trans: (P, 1); live: (1, 128) bool.
+    Math identical to raster_jnp.splat_alpha_color (gau_frag.glsl:13-38)
+    + the exclusive-prefix transmittance factorization.
+    """
+    b = binning
+    cx = rows[b.COL_CX : b.COL_CX + 1, :]  # (1, S)
+    cy = rows[b.COL_CY : b.COL_CY + 1, :]
+    ca = rows[b.COL_A : b.COL_A + 1, :]
+    cb = rows[b.COL_B : b.COL_B + 1, :]
+    cc = rows[b.COL_C : b.COL_C + 1, :]
+    opacity = rows[b.COL_OPACITY : b.COL_OPACITY + 1, :]
+    rx = rows[b.COL_RX : b.COL_RX + 1, :]
+    ry = rows[b.COL_RY : b.COL_RY + 1, :]
+    colors = rows[b.COL_R : b.COL_BCH + 1, :]  # (3, S)
+
+    dx = px - cx  # (P, S)
+    dy = py - cy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    in_rect = (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry) & live
+
+    mode = int(cfg.mode)
+    if mode == RenderMode.BILLBOARD:
+        alpha = jnp.where(in_rect, 1.0, 0.0)
+        gauss = None
+    else:
+        gauss = jnp.exp(power)
+        alpha = jnp.minimum(cfg.alpha_clamp, opacity * gauss)
+        keep = in_rect & (power <= 0.0) & (alpha >= cfg.alpha_min)
+        alpha = jnp.where(keep, alpha, 0.0)
+        if mode in (RenderMode.FLAT_BALL, RenderMode.GAUSSIAN_BALL):
+            alpha = jnp.where(keep & (alpha > cfg.ball_threshold), 1.0, 0.0)
+
+    one_m = 1.0 - alpha  # (P, S)
+    prefix = _exclusive_cumprod_lanes(one_m)
+    w = alpha * prefix * trans  # absolute blend weights
+
+    # per-fragment darkening of GAUSSIAN_BALL (gau_frag.glsl:37) folds into
+    # the weights; color itself is per-splat
+    w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
+    # (P, S) x (S, 3) on the MXU
+    rgb = rgb + jax.lax.dot_general(
+        w_c,
+        colors,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    trans = trans * prefix[:, -1:] * one_m[:, -1:]
+    return rgb, trans
+
+
+def _fwd_kernel(
+    starts_ref,  # scalar prefetch: (T+1,) i32 (padded segment starts)
+    counts_ref,  # scalar prefetch: (T,) i32 (live rows per tile)
+    rowoff_ref,  # scalar prefetch: (1,) i32 tile-row offset of this shard
+    table_ref,  # HBM/ANY: (16, Dpad) f32, attribute-major
+    out_ref,  # VMEM block: (1, P, 4) — rgb cols 0..2, transmittance col 3
+    scratch,  # VMEM: (N_BUF, 16, CHUNK)
+    sems,  # DMA semaphores (N_BUF,)
+    *,
+    cfg: RenderConfig,
+):
+    t = pl.program_id(0)
+    p = cfg.tile_size * cfg.tile_size
+    start = starts_ref[t]
+    n = counts_ref[t]
+    num_chunks = pl.cdiv(n, CHUNK)
+
+    # pixel-center coordinates of this tile's block, pixels on sublanes
+    ts = cfg.tile_size
+    tx = (t % cfg.tiles_x).astype(jnp.float32)
+    ty = (t // cfg.tiles_x + rowoff_ref[0]).astype(jnp.float32)
+    local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
+    px = tx * ts + jax.lax.rem(local, ts).astype(jnp.float32) + 0.5
+    py = ty * ts + jax.lax.div(local, ts).astype(jnp.float32) + 0.5
+
+    def get_dma(slot, chunk_idx):
+        # binning pads every segment start to SEGMENT_ALIGN==CHUNK, so the
+        # offset is provably lane-aligned; tell Mosaic so
+        offset = pl.multiple_of(start + chunk_idx * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            table_ref.at[:, pl.ds(offset, CHUNK)],
+            scratch.at[slot],
+            sems.at[slot],
+        )
+
+    @pl.when(num_chunks > 0)
+    def _():
+        get_dma(0, 0).start()
+
+    def cond(state):
+        ci, rgb, trans = state
+        return (ci < num_chunks) & (
+            jnp.max(trans) > cfg.early_stop_transmittance
+        )
+
+    def body(state):
+        ci, rgb, trans = state
+        slot = jax.lax.rem(ci, N_BUF)
+        next_slot = jax.lax.rem(ci + 1, N_BUF)
+
+        @pl.when(ci + 1 < num_chunks)
+        def _():
+            get_dma(next_slot, ci + 1).start()
+
+        get_dma(slot, ci).wait()
+        rows = scratch[slot]  # (16, CHUNK)
+        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+        live = (ci * CHUNK + col) < n
+        rgb, trans = _chunk_blend(rows, px, py, rgb, trans, live, cfg)
+        return ci + 1, rgb, trans
+
+    rgb = jnp.zeros((p, 3), jnp.float32)
+    trans = jnp.ones((p, 1), jnp.float32)
+    ci, rgb, trans = jax.lax.while_loop(cond, body, (0, rgb, trans))
+
+    # drain the in-flight DMA if the transmittance early-stop fired
+    @pl.when(ci < num_chunks)
+    def _():
+        get_dma(jax.lax.rem(ci, N_BUF), ci).wait()
+
+    out_ref[0, :, 0:3] = rgb
+    out_ref[0, :, 3:4] = trans
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
+def rasterize_binned_pallas(
+    table, starts, counts, row_offset, cfg: RenderConfig,
+    local_rows: int | None = None,
+):
+    """Run the Pallas blend over the tile-row window.
+
+    table: (Dpad, 16) row-major (transposed internally for streaming).
+    Returns (rgb_tiles (T, P, 3), trans_tiles (T, P)).
+    """
+    p = cfg.tile_size * cfg.tile_size
+    if local_rows is None:
+        local_rows = cfg.tiles_y
+    num_tiles = local_rows * cfg.tiles_x
+    assert table.shape[-1] == TABLE_WIDTH
+
+    # attribute-major layout for lane-aligned streaming
+    table_soa = table.T  # (16, Dpad)
+    rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, cfg=cfg),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=(jax.default_backend() == "cpu"),
+    )(starts, counts, rowoff, table_soa)
+
+    return out[:, :, 0:3], out[:, :, 3]

@@ -1,0 +1,142 @@
+"""Multi-chip rendering: image tile rows sharded over the mesh.
+
+Design (SURVEY.md §2.4 / BASELINE config 5):
+  * Gaussian parameters REPLICATED on every chip (they are the "weights");
+  * the image's tile rows sharded over the ``tiles`` mesh axis: each chip
+    projects all splats (cheap, embarrassingly parallel recompute — avoids
+    an all-gather of culled lists), bins only the splats touching its band,
+    and runs the Pallas/XLA blend on its band;
+  * the output image is left sharded by rows (devices hold their bands);
+  * under jax.grad, shard_map's transpose inserts ONE psum over the scene
+    gradients — the gradient all-reduce rides ICI and XLA overlaps it with
+    the remaining backward work.
+
+The tile-row count is padded to a multiple of the mesh size; padded rows
+render background and are cropped off.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from gaussiansplattingviewer_tpu.config import RenderConfig
+from gaussiansplattingviewer_tpu.models.gaussians import GaussianData
+from gaussiansplattingviewer_tpu.ops import binning
+from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
+from gaussiansplattingviewer_tpu.ops.projection import project
+from gaussiansplattingviewer_tpu.parallel.mesh import TILE_AXIS
+
+
+def _rows_per_shard(cfg: RenderConfig, n_shards: int) -> int:
+    return -(-cfg.tiles_y // n_shards)
+
+
+def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
+                 use_pallas: bool):
+    """Per-device body: render this device's band of tile rows.
+
+    Returns the band image (rows*tile_size, padded_width, 3).
+    """
+    idx = jax.lax.axis_index(TILE_AXIS)
+    row0 = (idx * rows).astype(jnp.int32)
+
+    splats = project(scene, view, proj, cam_pos, cfg)
+    binned = binning.bin_splats(splats, cfg, row_offset=row0, local_rows=rows)
+    rgb_tiles, trans_tiles = blend_tiles(
+        cfg,
+        use_pallas,
+        rows,
+        binned.table,
+        binned.tile_starts,
+        binned.tile_counts,
+        row0,
+    )
+    ts = cfg.tile_size
+    tx_n = cfg.tiles_x
+    img = rgb_tiles.reshape(rows, tx_n, ts, ts, 3)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(rows * ts, tx_n * ts, 3)
+    trans = trans_tiles.reshape(rows, tx_n, ts, ts)
+    trans = trans.transpose(0, 2, 1, 3).reshape(rows * ts, tx_n * ts)
+    img = img + cfg.background * trans[..., None]
+    return img
+
+
+def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = None):
+    """Build a jit'd sharded render: (scene, view, proj, cam_pos) -> (H, W, 3).
+
+    Scene/camera inputs are replicated; the output image is computed with
+    its tile-row bands sharded over the mesh, then (logically) concatenated.
+    Differentiable: reverse-mode inserts the psum gradient all-reduce.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    n_shards = mesh.shape[TILE_AXIS]
+    rows = _rows_per_shard(cfg, n_shards)
+
+    body = functools.partial(
+        _render_band, cfg=cfg, rows=rows, use_pallas=use_pallas
+    )
+
+    sharded = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P()),  # replicated scene + camera
+        out_specs=P(TILE_AXIS, None, None),  # row-banded image
+        check_vma=False,
+    )
+
+    @jax.jit
+    def render_fn(scene, view, proj, cam_pos):
+        img = sharded(scene, view, proj, cam_pos)
+        return img[: cfg.height, : cfg.width]
+
+    return render_fn
+
+
+def render_sharded(scene: GaussianData, view, proj, cam_pos, cfg: RenderConfig,
+                   mesh, use_pallas: bool | None = None):
+    """One-shot sharded render (compiles per cfg/mesh — prefer
+    make_sharded_render_fn for loops)."""
+    fn = make_sharded_render_fn(mesh, cfg, use_pallas)
+    return fn(
+        scene,
+        jnp.asarray(view, jnp.float32),
+        jnp.asarray(proj, jnp.float32),
+        jnp.asarray(cam_pos, jnp.float32),
+    )
+
+
+def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
+                            use_pallas: bool | None = None):
+    """Full multi-chip training step: L2 loss against a target image,
+    gradient all-reduce over the mesh, optax update.
+
+    Returns step(scene, opt_state, view, proj, cam_pos, target) ->
+    (scene, opt_state, loss).  This is the flagship train path the driver's
+    dryrun_multichip exercises.
+    """
+    import optax
+
+    if optimizer is None:
+        optimizer = optax.adam(1e-3)
+    render_fn_inner = make_sharded_render_fn(mesh, cfg, use_pallas)
+
+    def loss_fn(scene, view, proj, cam_pos, target):
+        img = render_fn_inner(scene, view, proj, cam_pos)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(scene, opt_state, view, proj, cam_pos, target):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            scene, view, proj, cam_pos, target
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, scene)
+        scene = optax.apply_updates(scene, updates)
+        return scene, opt_state, loss
+
+    return step

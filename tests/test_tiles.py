@@ -32,18 +32,25 @@ def test_binning_invariants():
     sp = project(scene, view, proj, cam_pos, cfg)
     b = binning.bin_splats(sp, cfg)
     starts = np.asarray(b.tile_starts)
+    counts = np.asarray(b.tile_counts)
     assert starts.shape == (cfg.num_tiles + 1,)
+    assert counts.shape == (cfg.num_tiles,)
     assert np.all(np.diff(starts) >= 0)
+    # segments are SEGMENT_ALIGN-padded and hold their live count
+    seg_lens = np.diff(starts)
+    assert np.all(seg_lens % binning.SEGMENT_ALIGN == 0)
+    assert np.all(counts <= seg_lens)
     assert int(b.overflow) == 0
-    assert int(b.num_duplicates) == starts[-1]
-    # every live table row has the depth column populated and rows within
-    # a tile are depth-ascending (front-to-back)
+    assert int(b.num_duplicates) == counts.sum()
     table = np.asarray(b.table)
     for t in range(cfg.num_tiles):
-        seg = table[starts[t] : starts[t + 1], binning.COL_DEPTH]
+        seg = table[starts[t] : starts[t] + counts[t], binning.COL_DEPTH]
         assert np.all(np.diff(seg) >= 0), f"tile {t} not depth sorted"
+        # padding rows are inert (zero opacity)
+        pad = table[starts[t] + counts[t] : starts[t + 1], binning.COL_OPACITY]
+        assert np.all(pad == 0.0)
     # visible naive splats produce at least one duplicate each
-    assert starts[-1] >= 3
+    assert counts.sum() >= 3
 
 
 def test_tile_center_membership():
@@ -54,10 +61,11 @@ def test_tile_center_membership():
     sp = project(scene, view, proj, cam_pos, cfg)
     b = binning.bin_splats(sp, cfg)
     starts = np.asarray(b.tile_starts)
+    counts = np.asarray(b.tile_counts)
     tx = (cfg.width // 2) // cfg.tile_size
     ty = (cfg.height // 2) // cfg.tile_size
     t = ty * cfg.tiles_x + tx
-    seg = np.asarray(b.table)[starts[t] : starts[t + 1]]
+    seg = np.asarray(b.table)[starts[t] : starts[t] + counts[t]]
     depths = seg[:, binning.COL_DEPTH]
     assert len(depths) >= 2
     assert np.isclose(depths[0], 2.0, atol=1e-5)  # blue first (nearest)
