@@ -129,8 +129,15 @@ def load_ply(path: str | os.PathLike, max_sh_degree: int = 3):
 
     rest_names = _numeric_suffix_sorted(names, "f_rest_")
     if rest_names:
-        expected = 3 * (max_sh_degree + 1) ** 2 - 3
-        assert len(rest_names) == expected, (len(rest_names), expected)
+        # the reference asserts exactly deg-3 (util_gau.py:94); we accept any
+        # full-band degree <= max_sh_degree and infer it from the file
+        n_rest_coeff = len(rest_names) // 3
+        degree = int(round((n_rest_coeff + 1) ** 0.5)) - 1
+        expected = 3 * ((degree + 1) ** 2 - 1)
+        assert len(rest_names) == expected and degree <= max_sh_degree, (
+            len(rest_names),
+            degree,
+        )
         rest = np.stack([v[nm] for nm in rest_names], axis=1).astype(np.float32)
         # on-disk layout is channel-major (3, n_coeff); transpose to
         # per-coefficient RGB (util_gau.py:98-100)

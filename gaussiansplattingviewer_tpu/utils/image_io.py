@@ -73,7 +73,7 @@ def write_disparity16(path, disp: np.ndarray) -> None:
         np.asarray(disp, np.float32) * 65535.0, 0, 65535
     ).astype(np.uint16)
     if _PILImage is not None:
-        _PILImage.fromarray(disp16, mode="I;16").save(path)
+        _PILImage.fromarray(disp16).save(path)  # uint16 -> 16-bit gray PNG
     else:
         _write_png_raw(path, disp16)
 
