@@ -105,14 +105,86 @@ def _numeric_suffix_sorted(names: list[str], prefix: str) -> list[str]:
     return sorted(sel, key=lambda n: int(re.split("[_.]", n)[-1]))
 
 
-def load_ply(path: str | os.PathLike, max_sh_degree: int = 3):
+def _load_ply_native(path):
+    """Single-pass C++ loader (native/gsv_native.cpp): parse + activations
+    + SH transpose without intermediate numpy copies.  Returns None when
+    the native library or the file layout is unsupported."""
+    import ctypes
+
+    from gaussiansplattingviewer_tpu import native
+
+    lib = native.get_lib()
+    if lib is None:
+        return None
+    info = native.GsvPlyInfo()
+    max_props = 256
+    names_buf = ctypes.create_string_buffer(64 * max_props)
+    rc = lib.gsv_ply_inspect(
+        str(path).encode(), ctypes.byref(info), names_buf, max_props
+    )
+    if rc != 0:
+        return None
+    names = [
+        names_buf.raw[64 * i : 64 * (i + 1)].split(b"\0")[0].decode()
+        for i in range(info.n_props)
+    ]
+    col = {n: i for i, n in enumerate(names)}
+    try:
+        xyz_idx = [col["x"], col["y"], col["z"]]
+        dc_idx = [col[f"f_dc_{i}"] for i in range(3)]
+        rest_names = _numeric_suffix_sorted(names, "f_rest_")
+        rest_idx = [col[n] for n in rest_names]
+        scale_idx = [col[f"scale_{i}"] for i in range(3)]
+        rot_idx = [col[f"rot_{i}"] for i in range(4)]
+        op_idx = col["opacity"]
+    except KeyError:
+        return None
+    if len(rest_idx) != info.sh_rest or info.sh_rest % 3 != 0:
+        return None
+
+    n = int(info.n_vertices)
+    sh_dim = 3 + info.sh_rest
+    xyz = np.empty((n, 3), np.float32)
+    rot = np.empty((n, 4), np.float32)
+    scale = np.empty((n, 3), np.float32)
+    opacity = np.empty((n, 1), np.float32)
+    sh = np.empty((n, sh_dim), np.float32)
+
+    def i32(a):
+        return (ctypes.c_int32 * len(a))(*a)
+
+    def fptr(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+    rc = lib.gsv_ply_load(
+        str(path).encode(), info.header_bytes, n, info.n_props,
+        i32(xyz_idx), i32(dc_idx), i32(rest_idx), info.sh_rest,
+        i32(scale_idx), i32(rot_idx), op_idx,
+        fptr(xyz), fptr(rot), fptr(scale), fptr(opacity), fptr(sh),
+    )
+    if rc != 0:
+        return None
+    scene = GaussianData(xyz, rot, scale, opacity, sh)
+    bbox = np.stack([xyz.min(axis=0), xyz.max(axis=0)])
+    return scene, bbox, xyz.mean(axis=0)
+
+
+def load_ply(path: str | os.PathLike, max_sh_degree: int = 3,
+             use_native: bool = True):
     """Load an INRIA 3DGS checkpoint PLY.
 
     Returns ``(GaussianData, bbox(2,3), center(3,))`` like the reference
     (util_gau.py:63-125).  SH layout is per-coefficient interleaved RGB:
     ``[dc.rgb, rest_0.rgb, ..., rest_14.rgb]`` — the transpose at
     util_gau.py:99-100 applied to the channel-major on-disk layout.
+
+    A native C++ fast path (native/gsv_native.cpp) handles the standard
+    binary float layout; anything else falls back to the Python parser.
     """
+    if use_native:
+        out = _load_ply_native(path)
+        if out is not None:
+            return out
     v = read_ply_vertices(path)
     names = list(v.keys())
     n = v["x"].shape[0]

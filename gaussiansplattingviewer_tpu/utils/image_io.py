@@ -52,14 +52,37 @@ def _write_png_raw(path, arr: np.ndarray) -> None:
         f.write(_png_chunk(b"IEND", b""))
 
 
+def _native_lib():
+    try:
+        from gaussiansplattingviewer_tpu import native
+
+        return native.get_lib()
+    except Exception:  # pragma: no cover
+        return None
+
+
 def write_rgb8(path, img: np.ndarray) -> None:
     """Save float [0,1] or uint8 HxWx3 as an 8-bit RGB PNG
-    (the reference's left/right captures, main.py:916-917)."""
+    (the reference's left/right captures, main.py:916-917).
+
+    Fast path: the native zlib encoder (native/gsv_native.cpp); falls back
+    to PIL, then to the pure-Python codec."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = np.clip(np.round(np.asarray(img, np.float32) * 255.0), 0, 255).astype(
             np.uint8
         )
+    lib = _native_lib()
+    if lib is not None and img.ndim == 3 and img.shape[2] == 3:
+        import ctypes
+
+        data = np.ascontiguousarray(img)
+        rc = lib.gsv_write_png_rgb8(
+            str(path).encode(), img.shape[1], img.shape[0],
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), 6,
+        )
+        if rc == 0:
+            return
     if _PILImage is not None:
         _PILImage.fromarray(img, mode="RGB").save(path)
     else:
@@ -72,6 +95,17 @@ def write_disparity16(path, disp: np.ndarray) -> None:
     disp16 = np.clip(
         np.asarray(disp, np.float32) * 65535.0, 0, 65535
     ).astype(np.uint16)
+    lib = _native_lib()
+    if lib is not None:
+        import ctypes
+
+        data = np.ascontiguousarray(disp16)
+        rc = lib.gsv_write_png_gray16(
+            str(path).encode(), disp16.shape[1], disp16.shape[0],
+            data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)), 6,
+        )
+        if rc == 0:
+            return
     if _PILImage is not None:
         _PILImage.fromarray(disp16).save(path)  # uint16 -> 16-bit gray PNG
     else:
