@@ -49,8 +49,12 @@ class RenderConfig:
       max_tiles_per_gaussian: static cap on how many tiles a single splat may
         be duplicated into (XLA needs static shapes; splats covering more
         tiles are clamped to their nearest tiles).
-      dup_factor: average tile-duplicates budgeted per Gaussian. The
-        duplicated key buffer has static size ``dup_factor * N`` (padded).
+      dup_factor: tile-duplicate slots per Gaussian — both the memory
+        budget (the key buffer is ``dup_factor * N``) and the hard per-splat
+        tile cap of the dense binning (splats covering more tiles are
+        clamped to a recentered window and counted in the overflow
+        diagnostic).  16 covers a 4x4-tile (64 px at tile_size 16)
+        footprint; raise it for extreme close-ups.
       stereo_baseline: world-space x offset used by DEPTH mode
         (ref gau_vert.glsl:184 hardcodes -0.5; gau_vert_2/3 use -0.3/-0.5).
       depth_scale_inflate: extra scale multiplier applied in DEPTH mode
@@ -74,7 +78,7 @@ class RenderConfig:
     scale_modifier: float = 1.0
     tile_size: int = 16
     max_tiles_per_gaussian: int = 64
-    dup_factor: int = 8
+    dup_factor: int = 16
     stereo_baseline: float = -0.5
     depth_scale_inflate: float = 1.2
     background: float = 0.0

@@ -14,16 +14,19 @@ duplicates.  The pipeline:
      — ONE O(N log N) device sort;
   2. compute each splat's tile-bbox span and duplicate-count; exclusive
      cumsum gives each splat a contiguous span in the duplicate buffer;
-  3. K scatter passes (K = max_tiles_per_gaussian, static) write
-     (tile_id, row_id) pairs.  Because splats were pre-sorted by depth and
-     offsets are monotone, entries of any given tile appear in the buffer in
-     DEPTH order already;
+  3. DENSE duplicate expansion: a (N, dup_factor) matrix holds the tile id
+     of each splat's k-th covered tile (sentinel when unused).  Flattened
+     splat-major, entries of any given tile appear in DEPTH order already
+     — and no scatter is ever issued (TPU scatters are pathologically slow;
+     an earlier 64-pass scatter formulation dominated the frame);
   4. one STABLE argsort by tile_id compacts per-tile lists contiguously
      while preserving that depth order — this replaces the 64-bit
      (tileID<<32|depth) radix sort of the CUDA reference with a cheaper
      int32 key sort;
-  5. tile ranges via searchsorted; splat attributes gathered into a padded
-     (D, 16) row table the blend kernels stream.
+  5. tile ranges via searchsorted; SEGMENT_ALIGN padding is applied with a
+     pure gather (binary search of each output slot's tile), and splat
+     attributes land in a padded (Dpad, 16) row table the blend kernels
+     stream.
 
 Everything is pure jnp -> runs under jit, shard_map, and on CPU for tests.
 """
@@ -101,24 +104,28 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
     y0 = jnp.floor((cy - ry) / ts).astype(jnp.int32)
     y1 = jnp.floor((cy + ry) / ts).astype(jnp.int32)
 
-    # drop splats entirely outside this device's window
-    onscreen = (x1 >= 0) & (x0 < tx_n) & (y1 >= ty_lo) & (y0 < ty_hi)
+    # clip to the GLOBAL grid first (never to the band): the overflow clamp
+    # below must be band-invariant so that multi-chip row sharding covers
+    # exactly the same tiles as a single chip
+    onscreen = (x1 >= 0) & (x0 < tx_n) & (y1 >= 0) & (y0 < ty_n)
     x0 = jnp.clip(x0, 0, tx_n - 1)
     x1 = jnp.clip(x1, 0, tx_n - 1)
-    y0 = jnp.clip(y0, ty_lo, ty_hi - 1)
-    y1 = jnp.clip(y1, ty_lo, ty_hi - 1)
+    y0 = jnp.clip(y0, 0, ty_n - 1)
+    y1 = jnp.clip(y1, 0, ty_n - 1)
 
     w = x1 - x0 + 1
     h = y1 - y0 + 1
-    # static cap: shrink the span symmetrically around the center tile
-    kmax = cfg.max_tiles_per_gaussian
+    # static cap: shrink the span symmetrically around the center tile.
+    # The dense duplicate expansion stores exactly dup_factor slots per
+    # splat, so that is the hard per-splat tile budget.
+    kmax = min(cfg.max_tiles_per_gaussian, cfg.dup_factor)
     overflowed = (w * h) > kmax
     # greedy clamp: bound each axis at kmax, then bound h by kmax // w
     w_c = jnp.minimum(w, kmax)
     h_c = jnp.minimum(h, jnp.maximum(kmax // jnp.maximum(w_c, 1), 1))
     # recenter the clamped window on the splat's own tile
     ctx = jnp.clip((cx / ts).astype(jnp.int32), 0, tx_n - 1)
-    cty = jnp.clip((cy / ts).astype(jnp.int32), ty_lo, ty_hi - 1)
+    cty = jnp.clip((cy / ts).astype(jnp.int32), 0, ty_n - 1)
     x0 = jnp.where(
         overflowed,
         jnp.clip(ctx - w_c // 2, 0, tx_n - w_c),
@@ -126,15 +133,21 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
     )
     y0 = jnp.where(
         overflowed,
-        jnp.clip(cty - h_c // 2, ty_lo, ty_hi - h_c),
+        jnp.clip(cty - h_c // 2, 0, ty_n - h_c),
         y0,
     )
     w = jnp.where(overflowed, w_c, w)
-    h = jnp.where(overflowed, h_c, h)
+    y1 = jnp.where(overflowed, y0 + h_c - 1, y1)
 
-    live = splats.valid & onscreen
+    # now intersect the (possibly clamped) window with the band
+    y0b = jnp.maximum(y0, ty_lo)
+    y1b = jnp.minimum(y1, ty_hi - 1)
+    h = y1b - y0b + 1
+    in_band = h > 0
+
+    live = splats.valid & onscreen & in_band
     count = jnp.where(live, w * h, 0)
-    return x0, y0 - ty_lo, w, h, count, overflowed & live
+    return x0, y0b - ty_lo, w, jnp.maximum(h, 0), count, overflowed & live
 
 
 def pack_table(splats: ProjectedSplats) -> jax.Array:
@@ -194,46 +207,30 @@ def bin_splats(
     x0, y0, w, h, count, overflowed = tile_bbox(
         sorted_splats, cfg, ty_lo=row_offset, ty_hi=row_offset + local_rows
     )
-    offsets = jnp.cumsum(count) - count  # exclusive
-    total = jnp.minimum(offsets[-1] + count[-1], cap)
+    # ---- 3. dense duplicate expansion (scatter-free: TPU scatters are the
+    # single slowest XLA op; the dense (N, K) tile matrix + one stable sort
+    # replaced a 64-pass scatter loop that dominated the frame).
+    # Duplicate k of splat i covers the k-th tile of its clamped span; the
+    # flat (splat-major) order makes each tile's entries depth-ordered
+    # after a STABLE sort by tile id.
+    k_per = cfg.dup_factor
+    k_idx = jnp.arange(k_per, dtype=jnp.int32)[None, :]  # (1, K)
+    w_safe = jnp.maximum(w, 1)[:, None]
+    kx = k_idx % w_safe
+    ky = k_idx // w_safe
+    alive = k_idx < count[:, None]  # (N, K)
+    tile_nk = (y0[:, None] + ky) * cfg.tiles_x + (x0[:, None] + kx)
+    flat_tiles = jnp.where(alive, tile_nk, sentinel).reshape(-1)  # (N*K,)
 
-    # ---- 3. K scatter passes building (tile_id, row_id)
-    kmax = cfg.max_tiles_per_gaussian
-    row_ids_src = jnp.arange(n, dtype=jnp.int32)
+    # ---- 4. one stable compaction sort by tile (preserves depth order)
+    perm = jnp.argsort(flat_tiles, stable=True)  # (cap,)
+    tile_sorted = flat_tiles[perm]
 
-    def scatter_k(k, carry):
-        tile_buf, row_buf = carry
-        alive = k < count
-        kx = jnp.where(w > 0, k % jnp.maximum(w, 1), 0)
-        ky = jnp.where(w > 0, k // jnp.maximum(w, 1), 0)
-        tile = (y0 + ky) * cfg.tiles_x + (x0 + kx)
-        idx = jnp.where(alive, offsets + k, cap)  # cap -> dropped
-        idx = jnp.minimum(idx, cap)  # budget overflow -> dropped
-        tile_buf = tile_buf.at[idx].set(
-            tile.astype(jnp.int32), mode="drop"
-        )
-        row_buf = row_buf.at[idx].set(row_ids_src, mode="drop")
-        return tile_buf, row_buf
-
-    tile_buf = jnp.full((cap,), sentinel, jnp.int32)
-    row_buf = jnp.zeros((cap,), jnp.int32)
-    tile_buf, row_buf = jax.lax.fori_loop(
-        0, kmax, scatter_k, (tile_buf, row_buf)
-    )
-
-    # ---- 4. stable compaction sort by tile (preserves depth order)
-    perm = jnp.argsort(tile_buf, stable=True)
-    tile_sorted = tile_buf[perm]
-    row_sorted = row_buf[perm]
-
-    # ---- 5. segment-aligned placement.  Raw ranges via searchsorted, then
-    # each tile's segment start is rounded up to SEGMENT_ALIGN so Pallas
-    # chunk DMAs are lane-aligned; entries move to
-    # padded_start[tile] + rank-within-tile.
     starts_raw = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
     counts = jnp.diff(starts_raw)  # (T,)
+    total = starts_raw[num_tiles]
     padded_len = (
         (counts + (SEGMENT_ALIGN - 1)) // SEGMENT_ALIGN
     ) * SEGMENT_ALIGN
@@ -241,14 +238,20 @@ def bin_splats(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_len).astype(jnp.int32)]
     )
 
-    live = tile_sorted < sentinel
-    tile_clipped = jnp.minimum(tile_sorted, sentinel - 1)
-    rank = jnp.arange(cap, dtype=jnp.int32) - starts_raw[tile_clipped]
-    new_pos = jnp.where(live, tile_starts[tile_clipped] + rank, dpad)
-
-    # inverse map: padded position -> source splat row (n = zero row)
-    inv = jnp.full((dpad,), n, jnp.int32)
-    inv = inv.at[new_pos].set(row_sorted, mode="drop")
+    # ---- 5. gather-based segment-aligned placement: for every output slot
+    # find its tile by binary search over the padded boundaries, then pull
+    # the source entry — no scatters anywhere.
+    p = jnp.arange(dpad, dtype=jnp.int32)
+    t_of_p = jnp.clip(
+        jnp.searchsorted(tile_starts, p, side="right") - 1, 0, num_tiles - 1
+    ).astype(jnp.int32)
+    rank = p - tile_starts[t_of_p]
+    c_t = counts[t_of_p]
+    valid = (rank < c_t) & (p < tile_starts[num_tiles])
+    src = starts_raw[t_of_p] + jnp.minimum(rank, jnp.maximum(c_t - 1, 0))
+    src_flat = perm[src]
+    row = src_flat // k_per  # depth-sorted splat index of this duplicate
+    inv = jnp.where(valid, row, n)  # n = the zero row
 
     # ---- 6. gathered attribute table (zero row for padding positions)
     table_src = pack_table(sorted_splats)

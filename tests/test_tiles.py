@@ -92,8 +92,10 @@ def test_tile_matches_oracle_naive(mode):
 
 
 def test_tile_matches_oracle_random_scene():
-    """2000 random splats, SH deg 3, non-tile-aligned resolution."""
-    cfg = RenderConfig(width=150, height=90)
+    """2000 random splats, SH deg 3, non-tile-aligned resolution.
+    dup_factor is raised so no splat hits the per-splat tile cap: with a
+    sufficient budget the tile path matches the (uncapped) oracle exactly."""
+    cfg = RenderConfig(width=150, height=90, dup_factor=64)
     scene = random_scene(2000, sh_degree=3, seed=11, extent=2.5, mean_scale=0.05)
     scene_d, view, proj, cam_pos = _setup(cfg, scene)
     img_o = np.asarray(render(scene_d, view, proj, cam_pos, cfg, backend="oracle"))
