@@ -78,15 +78,21 @@ def main():
         def step(sc):
             return grad_fn(sc)
 
+    def hard_sync(out):
+        # jax.block_until_ready can return early on tunneled/remote
+        # backends; a host readback of a leaf slice cannot
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(leaf.reshape(-1)[:4])
+
     # warmup / compile
     for _ in range(max(args.warmup, 1)):
         out = step(scene)
-    jax.block_until_ready(out)
+    hard_sync(out)
 
     t0 = time.perf_counter()
     for _ in range(args.iters):
         out = step(scene)
-    jax.block_until_ready(out)
+    hard_sync(out)
     dt = time.perf_counter() - t0
 
     mpix = cfg.width * cfg.height / 1e6

@@ -55,6 +55,12 @@ class RenderConfig:
         clamped to a recentered window and counted in the overflow
         diagnostic).  16 covers a 4x4-tile (64 px at tile_size 16)
         footprint; raise it for extreme close-ups.
+      table_budget_factor: materialized splat-table rows per Gaussian.
+        The dense key buffer is dup_factor*N, but only ~2-4 duplicates per
+        splat are typically live; the table (and every gather over it) is
+        sized table_budget_factor*N and the sorted tail beyond it is
+        truncated (highest tile indices; reported in the ``truncated``
+        diagnostic).  Must be <= dup_factor.
       stereo_baseline: world-space x offset used by DEPTH mode
         (ref gau_vert.glsl:184 hardcodes -0.5; gau_vert_2/3 use -0.3/-0.5).
       depth_scale_inflate: extra scale multiplier applied in DEPTH mode
@@ -79,6 +85,7 @@ class RenderConfig:
     tile_size: int = 16
     max_tiles_per_gaussian: int = 64
     dup_factor: int = 16
+    table_budget_factor: int = 8
     stereo_baseline: float = -0.5
     depth_scale_inflate: float = 1.2
     background: float = 0.0

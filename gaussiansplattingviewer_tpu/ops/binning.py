@@ -23,10 +23,10 @@ duplicates.  The pipeline:
      while preserving that depth order — this replaces the 64-bit
      (tileID<<32|depth) radix sort of the CUDA reference with a cheaper
      int32 key sort;
-  5. tile ranges via searchsorted; SEGMENT_ALIGN padding is applied with a
-     pure gather (binary search of each output slot's tile), and splat
-     attributes land in a padded (Dpad, 16) row table the blend kernels
-     stream.
+  5. tile ranges via searchsorted and ONE row gather materializes the
+     compact (D, 16) table the blend kernels stream (kernels read
+     lane-aligned windows and mask segment overhang, so no padding or
+     re-placement pass exists).
 
 Everything is pure jnp -> runs under jit, shard_map, and on CPU for tests.
 """
@@ -53,8 +53,9 @@ COL_RX, COL_RY = 9, 10
 COL_DEPTH = 11
 
 
-# Per-tile segments are padded to this many splats so that every chunk DMA
-# in the Pallas kernels starts lane-aligned (128 f32 = one TPU lane tile).
+# Chunk granularity of the Pallas blend kernels (128 f32 = one TPU lane
+# tile).  Segments are stored compactly; kernels read aligned windows of
+# this size around each segment and mask the overhang.
 SEGMENT_ALIGN = 128
 
 
@@ -63,16 +64,18 @@ SEGMENT_ALIGN = 128
 class BinnedSplats:
     """Contiguous, depth-ordered per-tile splat lists.
 
-    table: (Dpad, TABLE_WIDTH) f32 — splat rows; tile t's live rows occupy
-      [tile_starts[t], tile_starts[t] + tile_counts[t]), followed by zero
-      rows up to tile_starts[t+1] (segments are SEGMENT_ALIGN-padded so TPU
-      DMA slices are lane-aligned; zero rows have opacity 0 and blend as
-      no-ops).
-    tile_starts: (num_tiles + 1,) i32 — padded segment boundaries.
-    tile_counts: (num_tiles,) i32 — live rows per tile.
+    table: (N*dup_factor + SEGMENT_ALIGN, TABLE_WIDTH) f32 — splat rows in
+      (tile, depth) order, stored COMPACTLY: tile t's rows are
+      [tile_starts[t], tile_starts[t+1]); sentinel entries sit past
+      tile_starts[-1] and a SEGMENT_ALIGN tail pad keeps aligned kernel
+      windows in bounds.
+    tile_starts: (num_tiles + 1,) i32 — segment boundaries.
+    tile_counts: (num_tiles,) i32 — rows per tile (= diff(tile_starts)).
     num_duplicates: () i32 — total live entries (diagnostics).
     overflow: () i32 — splats whose tile span was clamped by the static
       ``max_tiles_per_gaussian`` cap (diagnostics; 0 in normal operation).
+    truncated: () i32 — duplicate entries dropped by the table budget
+      (cfg.table_budget_factor; 0 in normal operation).
     """
 
     table: jax.Array
@@ -80,6 +83,7 @@ class BinnedSplats:
     tile_counts: jax.Array
     num_duplicates: jax.Array
     overflow: jax.Array
+    truncated: jax.Array
 
 
 def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
@@ -150,6 +154,72 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
     return x0, y0b - ty_lo, w, jnp.maximum(h, 0), count, overflowed & live
 
 
+# ---------------------------------------------------------------------------
+# Permutation gathers with hand-written transposes.
+#
+# JAX's autodiff transposes a gather into a scatter-add; TPU scatters are
+# catastrophically slow at these sizes (a 16M-row scatter-add dominated the
+# backward).  Both gathers in this module are (multi-)permutations, so their
+# exact VJPs are expressible as gathers through the inverse permutation —
+# which costs one extra key-value sort in the forward (and is DCE'd away in
+# inference graphs, where the cotangent path is never built).
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def _permute_rows(x, order, inv_order):
+    """x[order] for a permutation ``order``; VJP gathers via ``inv_order``."""
+    return x[order]
+
+
+def _permute_rows_fwd(x, order, inv_order):
+    return x[order], (inv_order,)
+
+
+def _permute_rows_bwd(res, g):
+    (inv_order,) = res
+    return g[inv_order], None, None
+
+
+_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_table_rows(k_per, pack, perm_trunc, inv_perm):
+    """pack[perm_trunc // k_per] — each pack row is replicated into its live
+    duplicate slots; ``perm_trunc`` may be a truncated prefix of the sorted
+    order (table budget).  The VJP inverts the sort with the FULL
+    ``inv_perm`` and reduces the k_per contiguous slots per splat (gather +
+    reshape-sum, no scatter); slots sorted past the truncation get zero."""
+    return pack[perm_trunc // k_per]
+
+
+def _gather_table_rows_fwd(k_per, pack, perm_trunc, inv_perm):
+    return pack[perm_trunc // k_per], (pack.shape[0], inv_perm)
+
+
+def _gather_table_rows_bwd(k_per, res, g):
+    n, inv_perm = res
+    cap_mat = g.shape[0]
+    g_ext = jnp.concatenate(
+        [g, jnp.zeros((1, g.shape[-1]), g.dtype)], axis=0
+    )
+    idx = jnp.minimum(inv_perm, cap_mat)  # truncated slots -> zero row
+    g_by_flat = g_ext[idx]  # back to (splat-major, k) flat order
+    g_pack = g_by_flat.reshape(n, k_per, g.shape[-1]).sum(axis=1)
+    return g_pack, None, None
+
+
+_gather_table_rows.defvjp(_gather_table_rows_fwd, _gather_table_rows_bwd)
+
+
+def _invert_permutation(perm: jax.Array) -> jax.Array:
+    """Inverse permutation via one key-value sort (no scatter)."""
+    n = perm.shape[0]
+    _, inv = jax.lax.sort_key_val(perm, jnp.arange(n, dtype=jnp.int32))
+    return inv
+
+
 def pack_table(splats: ProjectedSplats) -> jax.Array:
     """Pack per-splat render attributes into (N, TABLE_WIDTH) f32 rows."""
     n = splats.depth.shape[0]
@@ -192,15 +262,20 @@ def bin_splats(
         local_rows = cfg.tiles_y
     num_tiles = local_rows * cfg.tiles_x
     sentinel = jnp.int32(num_tiles)
-    # static capacity of the segment-padded table
-    dpad = cap + SEGMENT_ALIGN * num_tiles
 
     # ---- 1. depth sort (nearest first; invalid splats to the end).
     # Replaces the reference's per-frame CUDA argsort round trip
-    # (renderer_ogl.py:41-53) with a resident device sort.
+    # (renderer_ogl.py:41-53) with a resident device sort.  The reorder
+    # uses the inverse-permutation gather VJP (see _permute_rows).
     depth_key = jnp.where(splats.valid, splats.depth, jnp.inf)
     order = jnp.argsort(depth_key)
-    sorted_splats = jax.tree.map(lambda a: a[order], splats)
+    inv_order = _invert_permutation(order)
+    sorted_splats = jax.tree.map(
+        lambda a: _permute_rows(a, order, inv_order)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a[order],
+        splats,
+    )
 
     # ---- 2. spans and offsets (y0 is local to the row window)
     row_offset = jnp.asarray(row_offset, jnp.int32)
@@ -226,44 +301,39 @@ def bin_splats(
     perm = jnp.argsort(flat_tiles, stable=True)  # (cap,)
     tile_sorted = flat_tiles[perm]
 
-    starts_raw = jnp.searchsorted(
+    starts = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
     ).astype(jnp.int32)
-    counts = jnp.diff(starts_raw)  # (T,)
-    total = starts_raw[num_tiles]
-    padded_len = (
-        (counts + (SEGMENT_ALIGN - 1)) // SEGMENT_ALIGN
-    ) * SEGMENT_ALIGN
-    tile_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_len).astype(jnp.int32)]
-    )
+    counts = jnp.diff(starts)  # (T,)
+    total = starts[num_tiles]
 
-    # ---- 5. gather-based segment-aligned placement: for every output slot
-    # find its tile by binary search over the padded boundaries, then pull
-    # the source entry — no scatters anywhere.
-    p = jnp.arange(dpad, dtype=jnp.int32)
-    t_of_p = jnp.clip(
-        jnp.searchsorted(tile_starts, p, side="right") - 1, 0, num_tiles - 1
-    ).astype(jnp.int32)
-    rank = p - tile_starts[t_of_p]
-    c_t = counts[t_of_p]
-    valid = (rank < c_t) & (p < tile_starts[num_tiles])
-    src = starts_raw[t_of_p] + jnp.minimum(rank, jnp.maximum(c_t - 1, 0))
-    src_flat = perm[src]
-    row = src_flat // k_per  # depth-sorted splat index of this duplicate
-    inv = jnp.where(valid, row, n)  # n = the zero row
+    # ---- 5. the compact table: ONE row gather in sorted order.  Tile t's
+    # rows are [starts[t], starts[t+1]); segments are NOT padded — the
+    # blend kernels read lane-ALIGNED 128-row windows around each segment
+    # and mask the out-of-range rows, so no gather-based re-placement (and
+    # no zero rows) is needed.  Sentinel entries sort to the tail and are
+    # outside every range; a CHUNK of physical padding keeps the kernels'
+    # last aligned window in bounds.
+    # table budget: only the first cap_mat sorted entries are materialized
+    # (live entries rarely exceed ~4 per splat; sentinels and any truncated
+    # tail sort last).  Ranges are clamped to match.
+    cap_mat = min(cap, cfg.table_budget_factor * n)
+    truncated = jnp.maximum(total - cap_mat, 0)
+    starts = jnp.minimum(starts, cap_mat)
+    counts = jnp.diff(starts)
 
-    # ---- 6. gathered attribute table (zero row for padding positions)
     table_src = pack_table(sorted_splats)
-    table_z = jnp.concatenate(
-        [table_src, jnp.zeros((1, TABLE_WIDTH), jnp.float32)], axis=0
+    inv_perm = _invert_permutation(perm)
+    table = _gather_table_rows(k_per, table_src, perm[:cap_mat], inv_perm)
+    table = jnp.concatenate(
+        [table, jnp.zeros((SEGMENT_ALIGN, TABLE_WIDTH), jnp.float32)], axis=0
     )
-    table = table_z[inv]
 
     return BinnedSplats(
         table=table,
-        tile_starts=tile_starts,
+        tile_starts=starts,
         tile_counts=counts,
-        num_duplicates=total.astype(jnp.int32),
+        num_duplicates=jnp.minimum(total, cap_mat).astype(jnp.int32),
         overflow=jnp.sum(overflowed).astype(jnp.int32),
+        truncated=truncated.astype(jnp.int32),
     )

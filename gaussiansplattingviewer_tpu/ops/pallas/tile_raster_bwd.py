@@ -59,8 +59,10 @@ def _bwd_kernel(
     gtable_ref,  # ANY (16, Dpad) output
     scratch,  # VMEM (N_BUF, 16, CHUNK)
     gscratch,  # VMEM (16, CHUNK)
+    gprev_scratch,  # VMEM (16, CHUNK): boundary-block RMW accumulator
     sems,  # DMA (N_BUF,)
     out_sem,  # DMA ()
+    prev_sem,  # DMA ()
     *,
     cfg: RenderConfig,
 ):
@@ -68,8 +70,9 @@ def _bwd_kernel(
     t = pl.program_id(0)
     p = cfg.tile_size * cfg.tile_size
     start = starts_ref[t]
-    n = counts_ref[t]
-    num_chunks = pl.cdiv(n, CHUNK)
+    end = start + counts_ref[t]
+    base = (start // CHUNK) * CHUNK  # aligned window start (compact table)
+    num_chunks = pl.cdiv(end - base, CHUNK)
     mode = int(cfg.mode)
     b = binning
 
@@ -87,15 +90,26 @@ def _bwd_kernel(
     gdot_out = jnp.sum(g_rgb * out_rgb, axis=1, keepdims=True)  # (P, 1)
 
     def get_dma(slot, chunk_idx):
-        offset = pl.multiple_of(start + chunk_idx * CHUNK, CHUNK)
+        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             table_ref.at[:, pl.ds(offset, CHUNK)],
             scratch.at[slot],
             sems.at[slot],
         )
 
+    def get_gprev_dma(chunk_idx):
+        # adjacent tiles share boundary blocks of the compact layout, so
+        # gradient writes are read-modify-write (the grid is sequential on
+        # a single TensorCore, so the neighbor's write has completed)
+        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            gtable_ref.at[:, pl.ds(offset, CHUNK)],
+            gprev_scratch,
+            prev_sem,
+        )
+
     def put_dma(chunk_idx):
-        offset = pl.multiple_of(start + chunk_idx * CHUNK, CHUNK)
+        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             gscratch,
             gtable_ref.at[:, pl.ds(offset, CHUNK)],
@@ -122,9 +136,13 @@ def _bwd_kernel(
             get_dma(next_slot, ci + 1).start()
 
         get_dma(slot, ci).wait()
+        gp = get_gprev_dma(ci)
+        gp.start()
         rows = scratch[slot]  # (16, CHUNK)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        live = (ci * CHUNK + col) < n
+        col = base + ci * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1
+        )
+        live = (col >= start) & (col < end)
 
         cx = rows[b.COL_CX : b.COL_CX + 1, :]
         cy = rows[b.COL_CY : b.COL_CY + 1, :]
@@ -229,6 +247,8 @@ def _bwd_kernel(
             gscratch[b.COL_OPACITY : b.COL_OPACITY + 1, :] = g_op
             gscratch[b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(g_col, (1, 0))
 
+        gp.wait()
+        gscratch[:, :] = gscratch[:, :] + gprev_scratch[:, :]
         put = put_dma(ci)
         put.start()
         put.wait()
@@ -281,7 +301,9 @@ def blend_bwd_pallas(
         scratch_shapes=[
             pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
             pltpu.VMEM((TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((TABLE_WIDTH, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

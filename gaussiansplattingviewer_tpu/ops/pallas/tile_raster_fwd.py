@@ -125,8 +125,11 @@ def _fwd_kernel(
     t = pl.program_id(0)
     p = cfg.tile_size * cfg.tile_size
     start = starts_ref[t]
-    n = counts_ref[t]
-    num_chunks = pl.cdiv(n, CHUNK)
+    end = start + counts_ref[t]
+    # segments are compact: stream lane-ALIGNED windows around the segment
+    # and mask rows outside [start, end)
+    base = (start // CHUNK) * CHUNK
+    num_chunks = pl.cdiv(end - base, CHUNK)
 
     # pixel-center coordinates of this tile's block, pixels on sublanes
     ts = cfg.tile_size
@@ -137,9 +140,7 @@ def _fwd_kernel(
     py = ty * ts + jax.lax.div(local, ts).astype(jnp.float32) + 0.5
 
     def get_dma(slot, chunk_idx):
-        # binning pads every segment start to SEGMENT_ALIGN==CHUNK, so the
-        # offset is provably lane-aligned; tell Mosaic so
-        offset = pl.multiple_of(start + chunk_idx * CHUNK, CHUNK)
+        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
         return pltpu.make_async_copy(
             table_ref.at[:, pl.ds(offset, CHUNK)],
             scratch.at[slot],
@@ -167,8 +168,10 @@ def _fwd_kernel(
 
         get_dma(slot, ci).wait()
         rows = scratch[slot]  # (16, CHUNK)
-        col = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-        live = (ci * CHUNK + col) < n
+        col = base + ci * CHUNK + jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1
+        )
+        live = (col >= start) & (col < end)
         rgb, trans = _chunk_blend(rows, px, py, rgb, trans, live, cfg)
         return ci + 1, rgb, trans
 

@@ -61,5 +61,6 @@ def rasterize_tiles(
             "transmittance": trans,
             "num_duplicates": binned.num_duplicates,
             "overflow": binned.overflow,
+            "truncated": binned.truncated,
         }
     return img
