@@ -10,23 +10,21 @@ shapes must be static, so the duplicated key buffer has a fixed capacity
 ``D = dup_factor * N`` and each splat is capped at ``max_tiles_per_gaussian``
 duplicates.  The pipeline:
 
-  1. depth-argsort all N splats (nearest first) and reorder their attributes
-     — ONE O(N log N) device sort;
-  2. compute each splat's tile-bbox span and duplicate-count; exclusive
-     cumsum gives each splat a contiguous span in the duplicate buffer;
-  3. DENSE duplicate expansion: a (N, dup_factor) matrix holds the tile id
-     of each splat's k-th covered tile (sentinel when unused).  Flattened
-     splat-major, entries of any given tile appear in DEPTH order already
-     — and no scatter is ever issued (TPU scatters are pathologically slow;
-     an earlier 64-pass scatter formulation dominated the frame);
-  4. one STABLE argsort by tile_id compacts per-tile lists contiguously
-     while preserving that depth order — this replaces the 64-bit
-     (tileID<<32|depth) radix sort of the CUDA reference with a cheaper
-     int32 key sort;
-  5. tile ranges via searchsorted and ONE row gather materializes the
-     compact (D, 16) table the blend kernels stream (kernels read
+  1. compute each splat's clamped tile-bbox span on the original order;
+  2. DENSE duplicate expansion: a (N, dup_factor) matrix holds the tile id
+     of each splat's k-th covered tile (sentinel when unused) — no scatter
+     is ever issued (TPU scatters are pathologically slow; an earlier
+     64-pass scatter formulation dominated the frame);
+  3. ONE stable two-key (tile, depth) sort orders every tile's list
+     front-to-back in a single pass — subsuming both the reference's
+     per-frame global depth argsort (renderer_ogl.py:41-53) and the CUDA
+     library's 64-bit tileID<<32|depth radix sort, with deterministic
+     tie-breaking by splat index;
+  4. tile ranges via searchsorted and ONE budgeted row gather materializes
+     the compact (D, 16) table the blend kernels stream (kernels read
      lane-aligned windows and mask segment overhang, so no padding or
-     re-placement pass exists).
+     re-placement pass exists).  The gathers carry custom inverse-
+     permutation VJPs so the backward never scatters either.
 
 Everything is pure jnp -> runs under jit, shard_map, and on CPU for tests.
 """
@@ -263,31 +261,15 @@ def bin_splats(
     num_tiles = local_rows * cfg.tiles_x
     sentinel = jnp.int32(num_tiles)
 
-    # ---- 1. depth sort (nearest first; invalid splats to the end).
-    # Replaces the reference's per-frame CUDA argsort round trip
-    # (renderer_ogl.py:41-53) with a resident device sort.  The reorder
-    # uses the inverse-permutation gather VJP (see _permute_rows).
-    depth_key = jnp.where(splats.valid, splats.depth, jnp.inf)
-    order = jnp.argsort(depth_key)
-    inv_order = _invert_permutation(order)
-    sorted_splats = jax.tree.map(
-        lambda a: _permute_rows(a, order, inv_order)
-        if jnp.issubdtype(a.dtype, jnp.floating)
-        else a[order],
-        splats,
-    )
-
-    # ---- 2. spans and offsets (y0 is local to the row window)
+    # ---- 1+2. spans and dense duplicate expansion on the ORIGINAL splat
+    # order (scatter-free: TPU scatters are the single slowest XLA op; the
+    # dense (N, K) tile matrix + one sort replaced a 64-pass scatter loop
+    # that dominated the frame).  Duplicate k of splat i covers the k-th
+    # tile of its clamped span.
     row_offset = jnp.asarray(row_offset, jnp.int32)
     x0, y0, w, h, count, overflowed = tile_bbox(
-        sorted_splats, cfg, ty_lo=row_offset, ty_hi=row_offset + local_rows
+        splats, cfg, ty_lo=row_offset, ty_hi=row_offset + local_rows
     )
-    # ---- 3. dense duplicate expansion (scatter-free: TPU scatters are the
-    # single slowest XLA op; the dense (N, K) tile matrix + one stable sort
-    # replaced a 64-pass scatter loop that dominated the frame).
-    # Duplicate k of splat i covers the k-th tile of its clamped span; the
-    # flat (splat-major) order makes each tile's entries depth-ordered
-    # after a STABLE sort by tile id.
     k_per = cfg.dup_factor
     k_idx = jnp.arange(k_per, dtype=jnp.int32)[None, :]  # (1, K)
     w_safe = jnp.maximum(w, 1)[:, None]
@@ -296,10 +278,20 @@ def bin_splats(
     alive = k_idx < count[:, None]  # (N, K)
     tile_nk = (y0[:, None] + ky) * cfg.tiles_x + (x0[:, None] + kx)
     flat_tiles = jnp.where(alive, tile_nk, sentinel).reshape(-1)  # (N*K,)
+    depth_flat = jnp.broadcast_to(
+        splats.depth.astype(jnp.float32)[:, None], (n, k_per)
+    ).reshape(-1)
 
-    # ---- 4. one stable compaction sort by tile (preserves depth order)
-    perm = jnp.argsort(flat_tiles, stable=True)  # (cap,)
-    tile_sorted = flat_tiles[perm]
+    # ---- 3+4. ONE stable two-key sort by (tile, depth) replaces the
+    # reference's 64-bit tileID<<32|depth radix sort AND its separate
+    # global depth argsort (renderer_ogl.py:41-53): front-to-back order
+    # per tile falls out directly, ties broken deterministically by the
+    # original splat index (stability).
+    tile_sorted, _, perm = jax.lax.sort(
+        (flat_tiles, depth_flat, jnp.arange(cap, dtype=jnp.int32)),
+        num_keys=2,
+        is_stable=True,
+    )
 
     starts = jnp.searchsorted(
         tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
@@ -322,7 +314,7 @@ def bin_splats(
     starts = jnp.minimum(starts, cap_mat)
     counts = jnp.diff(starts)
 
-    table_src = pack_table(sorted_splats)
+    table_src = pack_table(splats)
     inv_perm = _invert_permutation(perm)
     table = _gather_table_rows(k_per, table_src, perm[:cap_mat], inv_perm)
     table = jnp.concatenate(

@@ -184,3 +184,51 @@ class Camera:
         self.h = int(height)
         self.w = int(width)
         self.is_intrin_dirty = True
+
+
+def sphere_orbit_pose(radius: float, theta_deg: float, phi_deg: float,
+                      baseline: float = 0.193001):
+    """Stereo camera pair on a sphere looking at the origin — the pose
+    generator of the reference's experimental fork
+    (main_test.py:392-425, generate_sphere_positions): spherical position
+    (theta from +z, phi around z), front toward the origin, up (0,-1,0),
+    right eye offset ``baseline`` along the right vector.
+
+    Returns (pose_left, pose_right) dicts with camera_front / camera_up /
+    camera_position keys, consumable by TPURenderer.update_camera_pose and
+    Camera.get_view_matrix.
+    """
+    th = math.radians(theta_deg)
+    ph = math.radians(phi_deg)
+    position = np.array(
+        [
+            radius * math.sin(th) * math.cos(ph),
+            radius * math.sin(th) * math.sin(ph),
+            radius * math.cos(th),
+        ],
+        dtype=np.float32,
+    )
+    front = -position / max(np.linalg.norm(position), 1e-9)
+    up = np.array([0.0, -1.0, 0.0], np.float32)
+    right = np.cross(front, up)
+    right = right / max(np.linalg.norm(right), 1e-9)
+    pose = {
+        "camera_front": front.astype(np.float32),
+        "camera_up": up,
+        "camera_position": position,
+        "camera_view": None,
+    }
+    pose_right = dict(pose)
+    pose_right["camera_position"] = (
+        position + right * baseline
+    ).astype(np.float32)
+    return pose, pose_right
+
+
+def sphere_orbit_path(radius: float, n: int, theta_deg: float = 75.0,
+                      baseline: float = 0.193001):
+    """n stereo pose pairs sweeping phi around the sphere."""
+    return [
+        sphere_orbit_pose(radius, theta_deg, 360.0 * i / n, baseline)
+        for i in range(n)
+    ]
