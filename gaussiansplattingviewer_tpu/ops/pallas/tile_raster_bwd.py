@@ -72,7 +72,7 @@ def _bwd_kernel(
     start = starts_ref[t]
     end = start + counts_ref[t]
     base = (start // CHUNK) * CHUNK  # aligned window start (compact table)
-    num_chunks = pl.cdiv(end - base, CHUNK)
+    num_chunks = jnp.where(end > start, pl.cdiv(end - base, CHUNK), 0)
     mode = int(cfg.mode)
     b = binning
 
@@ -136,8 +136,17 @@ def _bwd_kernel(
             get_dma(next_slot, ci + 1).start()
 
         get_dma(slot, ci).wait()
-        gp = get_gprev_dma(ci)
-        gp.start()
+        # only the first/last chunk of a tile can share its 128-block with
+        # a neighboring tile; interior chunks are exclusively owned, so the
+        # read-modify-write accumulate is confined to the boundaries
+        boundary = ((ci == 0) & (start > base)) | (
+            (ci == num_chunks - 1) & (end < base + num_chunks * CHUNK)
+        )
+
+        @pl.when(boundary)
+        def _():
+            get_gprev_dma(ci).start()
+
         rows = scratch[slot]  # (16, CHUNK)
         col = base + ci * CHUNK + jax.lax.broadcasted_iota(
             jnp.int32, (1, CHUNK), 1
@@ -247,8 +256,11 @@ def _bwd_kernel(
             gscratch[b.COL_OPACITY : b.COL_OPACITY + 1, :] = g_op
             gscratch[b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(g_col, (1, 0))
 
-        gp.wait()
-        gscratch[:, :] = gscratch[:, :] + gprev_scratch[:, :]
+        @pl.when(boundary)
+        def _():
+            get_gprev_dma(ci).wait()
+            gscratch[:, :] = gscratch[:, :] + gprev_scratch[:, :]
+
         put = put_dma(ci)
         put.start()
         put.wait()

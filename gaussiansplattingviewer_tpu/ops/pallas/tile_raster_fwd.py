@@ -129,7 +129,7 @@ def _fwd_kernel(
     # segments are compact: stream lane-ALIGNED windows around the segment
     # and mask rows outside [start, end)
     base = (start // CHUNK) * CHUNK
-    num_chunks = pl.cdiv(end - base, CHUNK)
+    num_chunks = jnp.where(end > start, pl.cdiv(end - base, CHUNK), 0)
 
     # pixel-center coordinates of this tile's block, pixels on sublanes
     ts = cfg.tile_size
