@@ -37,8 +37,15 @@ def _rows_per_shard(cfg: RenderConfig, n_shards: int) -> int:
 
 
 def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
-                 use_pallas: bool):
+                 use_pallas: bool, shard_splats: bool = False):
     """Per-device body: render this device's band of tile rows.
+
+    shard_splats=True: ``scene`` arrives sharded over splats; each chip
+    projects+culls its N/ndev shard and the compact screen-space splats
+    (~1/4 the bytes of raw parameters) are all-gathered over ICI — the
+    "frustum-culled splat lists sharded across chips" scheme (SURVEY.md
+    §2.4 growth path).  Under grad, the all-gather transposes to a
+    reduce-scatter, so parameter gradients come back splat-sharded too.
 
     Returns the band image (rows*tile_size, padded_width, 3).
     """
@@ -46,6 +53,11 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     row0 = (idx * rows).astype(jnp.int32)
 
     splats = project(scene, view, proj, cam_pos, cfg)
+    if shard_splats:
+        splats = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, TILE_AXIS, axis=0, tiled=True),
+            splats,
+        )
     binned = binning.bin_splats(splats, cfg, row_offset=row0, local_rows=rows)
     rgb_tiles, trans_tiles = blend_tiles(
         cfg,
@@ -66,12 +78,17 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     return img
 
 
-def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = None):
+def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = None,
+                           shard_splats: bool = False):
     """Build a jit'd sharded render: (scene, view, proj, cam_pos) -> (H, W, 3).
 
-    Scene/camera inputs are replicated; the output image is computed with
-    its tile-row bands sharded over the mesh, then (logically) concatenated.
-    Differentiable: reverse-mode inserts the psum gradient all-reduce.
+    Camera inputs are replicated; the image is computed with its tile-row
+    bands sharded over the mesh.  The scene is replicated by default; with
+    shard_splats=True it must arrive sharded over splats (see
+    shard_scene_splats) and projection/culling are split across chips with
+    an ICI all-gather of the compact screen-space splats.
+    Differentiable: reverse-mode inserts the psum (replicated) or
+    reduce-scatter (splat-sharded) gradient collective.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
@@ -79,13 +96,15 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
     rows = _rows_per_shard(cfg, n_shards)
 
     body = functools.partial(
-        _render_band, cfg=cfg, rows=rows, use_pallas=use_pallas
+        _render_band, cfg=cfg, rows=rows, use_pallas=use_pallas,
+        shard_splats=shard_splats,
     )
 
+    scene_spec = P(TILE_AXIS) if shard_splats else P()
     sharded = shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P()),  # replicated scene + camera
+        in_specs=(scene_spec, P(), P(), P()),
         out_specs=P(TILE_AXIS, None, None),  # row-banded image
         check_vma=False,
     )
@@ -111,8 +130,22 @@ def render_sharded(scene: GaussianData, view, proj, cam_pos, cfg: RenderConfig,
     )
 
 
+def shard_scene_splats(scene, mesh):
+    """Place the scene sharded over splats (axis 0) on the mesh; pads to a
+    mesh-size multiple first."""
+    import numpy as np
+    from jax.sharding import NamedSharding
+
+    n_dev = mesh.shape[TILE_AXIS]
+    n = len(scene.xyz)
+    scene = scene.pad_to(-(-n // n_dev) * n_dev) if n % n_dev else scene
+    sharding = NamedSharding(mesh, P(TILE_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), sharding), scene)
+
+
 def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
-                            use_pallas: bool | None = None):
+                            use_pallas: bool | None = None,
+                            shard_splats: bool = False):
     """Full multi-chip training step: L2 loss against a target image,
     gradient all-reduce over the mesh, optax update.
 
@@ -124,7 +157,9 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
 
     if optimizer is None:
         optimizer = optax.adam(1e-3)
-    render_fn_inner = make_sharded_render_fn(mesh, cfg, use_pallas)
+    render_fn_inner = make_sharded_render_fn(
+        mesh, cfg, use_pallas, shard_splats=shard_splats
+    )
 
     def loss_fn(scene, view, proj, cam_pos, target):
         img = render_fn_inner(scene, view, proj, cam_pos)

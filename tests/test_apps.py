@@ -143,3 +143,24 @@ def test_render_all_batch(tmp_path, scene_fixture):
     rep = json.loads(report.read_text())
     assert rep.get("0001") == "ok", rep
     assert rc == 0
+
+
+def test_train_self_distill(tmp_path):
+    """The differentiable path end-to-end: perturb a scene and watch the
+    loss fall while recovering it from its own renders."""
+    from gaussiansplattingviewer_tpu.apps import train
+
+    out = tmp_path / "trained.npz"
+    rc = train.main(
+        [
+            "--self-distill",
+            "--steps", "80",
+            "--width", "64", "--height", "48",
+            "--backend", "tile",
+            "--lr", "2e-3",
+            "--out", str(out),
+            "--log-every", "10",
+        ]
+    )
+    assert rc == 0
+    assert out.exists()
