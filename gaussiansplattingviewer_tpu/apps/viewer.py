@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--save-poses", default=None,
                     help="append rendered camera poses to this CSV "
                          "(front,up,position triplets like main.py:418-434)")
+    ap.add_argument("--poses-csv", default=None,
+                    help="replay poses recorded in a camera_data.csv "
+                         "(9 columns: front, up, position)")
     return ap
 
 
@@ -128,10 +131,36 @@ def main(argv=None) -> int:
     radius = args.orbit_radius or float(np.linalg.norm(eye0 - target))
     up = np.asarray(args.up, np.float64)
 
+    csv_poses = None
+    if args.poses_csv:
+        csv_poses = []
+        with open(args.poses_csv, newline="") as f:
+            for row in csv.reader(f):
+                if len(row) >= 9:
+                    vals = [float(x) for x in row[:9]]
+                    csv_poses.append(
+                        (np.array(vals[0:3]), np.array(vals[3:6]),
+                         np.array(vals[6:9]))
+                    )
+        print(f"replaying {len(csv_poses)} recorded poses", file=sys.stderr)
+
     ensure_dirs(args.out)
-    n_frames = max(args.orbit, 1)
+    n_frames = len(csv_poses) if csv_poses else max(args.orbit, 1)
     t0 = time.time()
     for i in range(n_frames):
+        if csv_poses:
+            front, up_i, eye = csv_poses[i]
+            view = tf.look_at(eye, eye + front, up_i)
+            img = np.asarray(
+                render(scene, view, proj, eye.astype(np.float32), cfg,
+                       backend=backend)
+            )
+            path = os.path.join(args.out, f"{i}.png")
+            if cfg.mode == RenderMode.DEPTH:
+                write_disparity16(path, img[..., 0])
+            else:
+                write_rgb8(path, np.clip(img, 0.0, 1.0))
+            continue
         if args.orbit:
             ang = 2 * np.pi * i / args.orbit
             # orbit in the plane orthogonal to `up`, like the reference's

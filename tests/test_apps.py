@@ -164,3 +164,22 @@ def test_train_self_distill(tmp_path):
     )
     assert rc == 0
     assert out.exists()
+
+
+def test_viewer_poses_csv_replay(tmp_path):
+    csv_path = tmp_path / "camera_data.csv"
+    csv_path.write_text(
+        "0,0,-1,0,-1,0,0,0,3\n"
+        "0,0,-1,0,-1,0,0.2,0,3\n"
+    )
+    out = tmp_path / "frames"
+    rc = viewer.main(
+        [
+            "--width", "64", "--height", "48",
+            "--backend", "tile",
+            "--poses-csv", str(csv_path),
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    assert sorted(os.listdir(out)) == ["0.png", "1.png"]
