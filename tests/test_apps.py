@@ -183,3 +183,41 @@ def test_viewer_poses_csv_replay(tmp_path):
     )
     assert rc == 0
     assert sorted(os.listdir(out)) == ["0.png", "1.png"]
+
+
+def test_serve_endpoints():
+    """Interactive web viewer: page, info, and render endpoints."""
+    import threading
+    import urllib.request
+    from http.server import ThreadingHTTPServer
+
+    from gaussiansplattingviewer_tpu.apps.serve import ViewerState, make_handler
+    from gaussiansplattingviewer_tpu.config import RenderConfig
+    from gaussiansplattingviewer_tpu.models import naive_gaussian
+
+    scene, bbox, center = naive_gaussian()
+    state = ViewerState(
+        scene.to_device(), center, 2.5,
+        RenderConfig(width=96, height=64), "tile",
+    )
+    server = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(state))
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=30
+        ).read()
+        assert b"<img id=v" in page
+        info = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/info", timeout=30
+        ).read()
+        assert b"n_gaussians" in info
+        png = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?yaw=0.4&pitch=0.2&radius=2.5"
+            "&mode=sh0&scale=1",
+            timeout=120,
+        ).read()
+        assert png[:8] == b"\x89PNG\r\n\x1a\n"
+    finally:
+        server.shutdown()
