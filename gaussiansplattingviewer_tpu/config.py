@@ -55,6 +55,10 @@ class RenderConfig:
         clamped to a recentered window and counted in the overflow
         diagnostic).  16 covers a 4x4-tile (64 px at tile_size 16)
         footprint; raise it for extreme close-ups.
+      dense_small_slots: level-1 duplicate slots every splat gets in the
+        two-level dense binning; splats covering more tiles draw up to
+        dup_factor slots from a bounded big-splat pool (max(N/4, 4096)
+        entries; spill clamps to level 1 and counts as overflow).
       table_budget_factor: materialized splat-table rows per Gaussian.
         The dense key buffer is dup_factor*N, but only ~2-4 duplicates per
         splat are typically live; the table (and every gather over it) is
@@ -85,6 +89,7 @@ class RenderConfig:
     tile_size: int = 16
     max_tiles_per_gaussian: int = 64
     dup_factor: int = 16
+    dense_small_slots: int = 4
     table_budget_factor: int = 8
     stereo_baseline: float = -0.5
     depth_scale_inflate: float = 1.2

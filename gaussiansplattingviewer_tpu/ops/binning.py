@@ -11,15 +11,17 @@ shapes must be static, so the duplicated key buffer has a fixed capacity
 duplicates.  The pipeline:
 
   1. compute each splat's clamped tile-bbox span on the original order;
-  2. DENSE duplicate expansion: a (N, dup_factor) matrix holds the tile id
-     of each splat's k-th covered tile (sentinel when unused) — no scatter
-     is ever issued (TPU scatters are pathologically slow; an earlier
-     64-pass scatter formulation dominated the frame);
-  3. ONE stable two-key (tile, depth) sort orders every tile's list
-     front-to-back in a single pass — subsuming both the reference's
-     per-frame global depth argsort (renderer_ogl.py:41-53) and the CUDA
-     library's 64-bit tileID<<32|depth radix sort, with deterministic
-     tie-breaking by splat index;
+  2. TWO-LEVEL dense duplicate expansion: every splat owns
+     ``dense_small_slots`` slots (level 1), and splats covering more tiles
+     draw the remaining ``dup_factor - dense_small_slots`` slots from a
+     bounded big-splat pool (level 2) — sentinel when unused, no scatter is
+     ever issued (TPU scatters are pathologically slow; an earlier 64-pass
+     scatter formulation dominated the frame);
+  3. ONE stable sort over fused u32 (tile | quantized-depth) keys orders
+     every tile's list front-to-back in a single pass — subsuming both the
+     reference's per-frame global depth argsort (renderer_ogl.py:41-53)
+     and the CUDA library's 64-bit tileID<<32|depth radix sort, with
+     deterministic tie-breaking by splat index;
   4. tile ranges via searchsorted and ONE budgeted row gather materializes
      the compact (D, 16) table the blend kernels stream (kernels read
      lane-aligned windows and mask segment overhang, so no padding or
@@ -62,7 +64,8 @@ SEGMENT_ALIGN = 128
 class BinnedSplats:
     """Contiguous, depth-ordered per-tile splat lists.
 
-    table: (N*dup_factor + SEGMENT_ALIGN, TABLE_WIDTH) f32 — splat rows in
+    table: (cap + SEGMENT_ALIGN, TABLE_WIDTH) f32, where cap is the
+      two-level slot capacity bounded by table_budget_factor*N — splat rows in
       (tile, depth) order, stored COMPACTLY: tile t's rows are
       [tile_starts[t], tile_starts[t+1]); sentinel entries sit past
       tile_starts[-1] and a SEGMENT_ALIGN tail pad keeps aligned kernel
@@ -164,48 +167,39 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
 # ---------------------------------------------------------------------------
 
 
-@jax.custom_vjp
-def _permute_rows(x, order, inv_order):
-    """x[order] for a permutation ``order``; VJP gathers via ``inv_order``."""
-    return x[order]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _gather_table_rows(k1, k2, pack, rows_trunc, inv_perm, big_pos):
+    """pack[rows_trunc] — materialize the splat-attribute row of each
+    (truncated) sorted duplicate slot.
+
+    The VJP folds slot gradients back onto splats without any scatter:
+    ``inv_perm`` maps every flat slot to its sorted position (truncated
+    slots clamp to a zero row), the two dense levels are reduced with
+    contiguous reshapes, and the big-pool level routes back to its splats
+    through ``big_pos`` (a gather).
+    """
+    return pack[rows_trunc]
 
 
-def _permute_rows_fwd(x, order, inv_order):
-    return x[order], (inv_order,)
+def _gather_table_rows_fwd(k1, k2, pack, rows_trunc, inv_perm, big_pos):
+    return pack[rows_trunc], (pack.shape[0], inv_perm, big_pos)
 
 
-def _permute_rows_bwd(res, g):
-    (inv_order,) = res
-    return g[inv_order], None, None
-
-
-_permute_rows.defvjp(_permute_rows_fwd, _permute_rows_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_table_rows(k_per, pack, perm_trunc, inv_perm):
-    """pack[perm_trunc // k_per] — each pack row is replicated into its live
-    duplicate slots; ``perm_trunc`` may be a truncated prefix of the sorted
-    order (table budget).  The VJP inverts the sort with the FULL
-    ``inv_perm`` and reduces the k_per contiguous slots per splat (gather +
-    reshape-sum, no scatter); slots sorted past the truncation get zero."""
-    return pack[perm_trunc // k_per]
-
-
-def _gather_table_rows_fwd(k_per, pack, perm_trunc, inv_perm):
-    return pack[perm_trunc // k_per], (pack.shape[0], inv_perm)
-
-
-def _gather_table_rows_bwd(k_per, res, g):
-    n, inv_perm = res
+def _gather_table_rows_bwd(k1, k2, res, g):
+    n, inv_perm, big_pos = res
     cap_mat = g.shape[0]
-    g_ext = jnp.concatenate(
-        [g, jnp.zeros((1, g.shape[-1]), g.dtype)], axis=0
-    )
+    width = g.shape[-1]
+    g_ext = jnp.concatenate([g, jnp.zeros((1, width), g.dtype)], axis=0)
     idx = jnp.minimum(inv_perm, cap_mat)  # truncated slots -> zero row
-    g_by_flat = g_ext[idx]  # back to (splat-major, k) flat order
-    g_pack = g_by_flat.reshape(n, k_per, g.shape[-1]).sum(axis=1)
-    return g_pack, None, None
+    g_by_flat = g_ext[idx]  # (cap, W) in flat-slot order
+    g1 = g_by_flat[: n * k1].reshape(n, k1, width).sum(axis=1)
+    if k2 > 0:
+        g2 = g_by_flat[n * k1 :].reshape(-1, k2, width).sum(axis=1)
+        g2_ext = jnp.concatenate(
+            [g2, jnp.zeros((1, width), g.dtype)], axis=0
+        )
+        g1 = g1 + g2_ext[jnp.minimum(big_pos, g2.shape[0])]
+    return g1, None, None, None
 
 
 _gather_table_rows.defvjp(_gather_table_rows_fwd, _gather_table_rows_bwd)
@@ -255,60 +249,103 @@ def bin_splats(
     (e.g. lax.axis_index inside shard_map).
     """
     n = splats.depth.shape[0]
-    cap = cfg.dup_factor * n
     if local_rows is None:
         local_rows = cfg.tiles_y
     num_tiles = local_rows * cfg.tiles_x
     sentinel = jnp.int32(num_tiles)
 
-    # ---- 1+2. spans and dense duplicate expansion on the ORIGINAL splat
-    # order (scatter-free: TPU scatters are the single slowest XLA op; the
-    # dense (N, K) tile matrix + one sort replaced a 64-pass scatter loop
-    # that dominated the frame).  Duplicate k of splat i covers the k-th
-    # tile of its clamped span.
+    # ---- 1. spans on the ORIGINAL splat order
     row_offset = jnp.asarray(row_offset, jnp.int32)
     x0, y0, w, h, count, overflowed = tile_bbox(
         splats, cfg, ty_lo=row_offset, ty_hi=row_offset + local_rows
     )
-    k_per = cfg.dup_factor
-    k_idx = jnp.arange(k_per, dtype=jnp.int32)[None, :]  # (1, K)
-    w_safe = jnp.maximum(w, 1)[:, None]
-    kx = k_idx % w_safe
-    ky = k_idx // w_safe
-    alive = k_idx < count[:, None]  # (N, K)
-    tile_nk = (y0[:, None] + ky) * cfg.tiles_x + (x0[:, None] + kx)
-    flat_tiles = jnp.where(alive, tile_nk, sentinel).reshape(-1)  # (N*K,)
-    depth_flat = jnp.broadcast_to(
-        splats.depth.astype(jnp.float32)[:, None], (n, k_per)
-    ).reshape(-1)
 
-    # ---- 3+4. ONE stable two-key sort by (tile, depth) replaces the
+    # ---- 2. TWO-LEVEL dense duplicate expansion (scatter-free).  Level 1
+    # gives every splat k1 slots (covers the ~85% of splats touching <= 4
+    # tiles); splats needing more join a big pool of n_big_cap entries with
+    # k2 further slots each.  This keeps the sorted key volume near the
+    # LIVE duplicate count instead of paying dup_factor slots per splat
+    # (16M -> ~8M keys at 1M splats), which dominates both the sort and
+    # the backward fold.
+    k1 = min(cfg.dense_small_slots, cfg.dup_factor)
+    k2 = cfg.dup_factor - k1
+    n_big_cap = min(n, max(n // 4, 4096))
+    if k2 == 0:
+        n_big_cap = 0
+
+    is_big = count > k1
+    # stable sort puts big splats first, preserving their relative order
+    sel = jnp.argsort(jnp.where(is_big, 0, 1).astype(jnp.int32), stable=True)
+    pos = _invert_permutation(sel)  # splat -> rank in big-first order
+    in_pool = pos < n_big_cap
+    # big splats that miss the pool are clamped to k1 tiles (counted)
+    spilled = is_big & ~in_pool
+    count = jnp.where(spilled, k1, count)
+    big_ids = sel[:n_big_cap]  # (n_big_cap,) splat ids (some may be small)
+    big_pos = jnp.where(is_big & in_pool, pos, n)
+
+    # fused (tile, depth) sort key: tile id in the high bits, the top
+    # ``depth_bits`` of the positive-f32 bit pattern (monotonic in depth —
+    # 8-bit exponent + >=11 mantissa bits, ~0.05% relative depth
+    # resolution) in the low bits.  One u32 key replaces the 3-operand
+    # two-key sort: ~2/3 the sorted bytes and half the comparator work.
+    depth_bits = 32 - int(num_tiles + 1).bit_length()
+    dq = jax.lax.bitcast_convert_type(
+        jnp.maximum(splats.depth.astype(jnp.float32), 0.0), jnp.uint32
+    ) >> jnp.uint32(32 - depth_bits)
+
+    def level_keys(ids, k_lo, k_hi):
+        """Fused sort keys for slots [k_lo, k_hi) of the given splats."""
+        kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
+        w_s = jnp.maximum(w[ids], 1)[:, None]
+        tiles = (y0[ids][:, None] + kk // w_s) * cfg.tiles_x + (
+            x0[ids][:, None] + kk % w_s
+        )
+        live = kk < count[ids][:, None]
+        tiles = jnp.where(live, tiles, sentinel).astype(jnp.uint32)
+        return ((tiles << jnp.uint32(depth_bits)) | dq[ids][:, None]).reshape(
+            -1
+        )
+
+    all_ids = jnp.arange(n, dtype=jnp.int32)
+    k1_keys = level_keys(all_ids, 0, k1)
+    if k2 > 0:
+        keys = jnp.concatenate([k1_keys, level_keys(big_ids, k1, k1 + k2)])
+        slot_row = jnp.concatenate(
+            [
+                jnp.broadcast_to(all_ids[:, None], (n, k1)).reshape(-1),
+                jnp.broadcast_to(
+                    big_ids[:, None], (n_big_cap, k2)
+                ).reshape(-1),
+            ]
+        )
+    else:
+        keys = k1_keys
+        slot_row = jnp.broadcast_to(all_ids[:, None], (n, k1)).reshape(-1)
+    cap = keys.shape[0]
+
+    # ---- 3. ONE stable single-key sort over the fused keys replaces the
     # reference's 64-bit tileID<<32|depth radix sort AND its separate
     # global depth argsort (renderer_ogl.py:41-53): front-to-back order
-    # per tile falls out directly, ties broken deterministically by the
-    # original splat index (stability).
-    tile_sorted, _, perm = jax.lax.sort(
-        (flat_tiles, depth_flat, jnp.arange(cap, dtype=jnp.int32)),
-        num_keys=2,
-        is_stable=True,
+    # per tile falls out directly, ties (same tile, same depth quantum)
+    # broken deterministically by slot index (stability).
+    key_sorted, perm = jax.lax.sort_key_val(
+        keys, jnp.arange(cap, dtype=jnp.int32), is_stable=True
     )
 
     starts = jnp.searchsorted(
-        tile_sorted, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
+        key_sorted,
+        jnp.arange(num_tiles + 1, dtype=jnp.uint32) << jnp.uint32(depth_bits),
+        side="left",
     ).astype(jnp.int32)
-    counts = jnp.diff(starts)  # (T,)
     total = starts[num_tiles]
 
-    # ---- 5. the compact table: ONE row gather in sorted order.  Tile t's
-    # rows are [starts[t], starts[t+1]); segments are NOT padded — the
-    # blend kernels read lane-ALIGNED 128-row windows around each segment
-    # and mask the out-of-range rows, so no gather-based re-placement (and
-    # no zero rows) is needed.  Sentinel entries sort to the tail and are
-    # outside every range; a CHUNK of physical padding keeps the kernels'
-    # last aligned window in bounds.
-    # table budget: only the first cap_mat sorted entries are materialized
-    # (live entries rarely exceed ~4 per splat; sentinels and any truncated
-    # tail sort last).  Ranges are clamped to match.
+    # ---- 4. the compact table: ONE budgeted row gather in sorted order.
+    # Tile t's rows are [starts[t], starts[t+1]); segments are NOT padded —
+    # the blend kernels read lane-ALIGNED 128-row windows around each
+    # segment and mask the out-of-range rows.  Sentinel entries sort to the
+    # tail, outside every range; a CHUNK of physical padding keeps the
+    # kernels' last aligned window in bounds.
     cap_mat = min(cap, cfg.table_budget_factor * n)
     truncated = jnp.maximum(total - cap_mat, 0)
     starts = jnp.minimum(starts, cap_mat)
@@ -316,16 +353,20 @@ def bin_splats(
 
     table_src = pack_table(splats)
     inv_perm = _invert_permutation(perm)
-    table = _gather_table_rows(k_per, table_src, perm[:cap_mat], inv_perm)
+    rows_trunc = slot_row[perm[:cap_mat]]
+    table = _gather_table_rows(
+        k1, k2, table_src, rows_trunc, inv_perm, big_pos
+    )
     table = jnp.concatenate(
         [table, jnp.zeros((SEGMENT_ALIGN, TABLE_WIDTH), jnp.float32)], axis=0
     )
 
+    overflow_total = jnp.sum(overflowed) + jnp.sum(spilled)
     return BinnedSplats(
         table=table,
         tile_starts=starts,
         tile_counts=counts,
         num_duplicates=jnp.minimum(total, cap_mat).astype(jnp.int32),
-        overflow=jnp.sum(overflowed).astype(jnp.int32),
+        overflow=overflow_total.astype(jnp.int32),
         truncated=truncated.astype(jnp.int32),
     )
