@@ -87,6 +87,24 @@ class BinnedSplats:
     truncated: jax.Array
 
 
+def _floordiv_small(a, b):
+    """Exact ``a // b`` for small non-negative ints via f32 math.
+
+    TPU has no integer-divide hardware; XLA lowers ``//`` by a *traced*
+    divisor to a long bit-serial sequence (measured: the ``kk // w`` pair in
+    key construction alone cost ~145 ms/frame at 1M splats — 2/3 of the
+    whole binning stage).  For 0 <= a < 2^20 and 1 <= b < 2^12,
+    ``floor((a + 0.5) / b)`` in f32 is exact: writing a = q*b + r with
+    0 <= r < b, (a + 0.5)/b = q + (r + 0.5)/b lies in (q, q + 1) with
+    margin >= 0.5/b on both sides — orders of magnitude above f32 rounding
+    error at these magnitudes."""
+    q = jnp.floor(
+        (jnp.asarray(a).astype(jnp.float32) + 0.5)
+        / jnp.asarray(b).astype(jnp.float32)
+    )
+    return q.astype(jnp.int32)
+
+
 def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
     """Per-splat tile-index bbox clamped to the grid, to the tile-row window
     [ty_lo, ty_hi) (used by the multi-chip row sharding; defaults to the
@@ -127,7 +145,9 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
     overflowed = (w * h) > kmax
     # greedy clamp: bound each axis at kmax, then bound h by kmax // w
     w_c = jnp.minimum(w, kmax)
-    h_c = jnp.minimum(h, jnp.maximum(kmax // jnp.maximum(w_c, 1), 1))
+    h_c = jnp.minimum(
+        h, jnp.maximum(_floordiv_small(kmax, jnp.maximum(w_c, 1)), 1)
+    )
     # recenter the clamped window on the splat's own tile
     ctx = jnp.clip((cx / ts).astype(jnp.int32), 0, tx_n - 1)
     cty = jnp.clip((cy / ts).astype(jnp.int32), 0, ty_n - 1)
@@ -177,6 +197,14 @@ def _gather_table_rows(k1, k2, pack, rows_trunc, inv_perm, big_pos):
     slots clamp to a zero row), the two dense levels are reduced with
     contiguous reshapes, and the big-pool level routes back to its splats
     through ``big_pos`` (a gather).
+
+    Flat-slot layout is SLOT-MAJOR: level-1 slot (s, splat i) lives at
+    flat = s * n + i, level-2 slot (s, pool entry p) at
+    k1 * n + s * n_pool + p.  Slot-major keeps every reshape on the MAJOR
+    axis — a (k, n) -> (k*n,) flatten is free, whereas the splat-major
+    (n, k) -> (n*k,) interleave is a TPU relayout pass (measured ~45 ms
+    per 7M-element flatten; key construction was ~99 ms of the frame
+    before this layout).
     """
     return pack[rows_trunc]
 
@@ -191,10 +219,10 @@ def _gather_table_rows_bwd(k1, k2, res, g):
     width = g.shape[-1]
     g_ext = jnp.concatenate([g, jnp.zeros((1, width), g.dtype)], axis=0)
     idx = jnp.minimum(inv_perm, cap_mat)  # truncated slots -> zero row
-    g_by_flat = g_ext[idx]  # (cap, W) in flat-slot order
-    g1 = g_by_flat[: n * k1].reshape(n, k1, width).sum(axis=1)
+    g_by_flat = g_ext[idx]  # (cap, W) in flat-slot order (slot-major)
+    g1 = g_by_flat[: n * k1].reshape(k1, n, width).sum(axis=0)
     if k2 > 0:
-        g2 = g_by_flat[n * k1 :].reshape(-1, k2, width).sum(axis=1)
+        g2 = g_by_flat[n * k1 :].reshape(k2, -1, width).sum(axis=0)
         g2_ext = jnp.concatenate(
             [g2, jnp.zeros((1, width), g.dtype)], axis=0
         )
@@ -294,43 +322,64 @@ def bin_splats(
         jnp.maximum(splats.depth.astype(jnp.float32), 0.0), jnp.uint32
     ) >> jnp.uint32(32 - depth_bits)
 
-    def level_keys(ids, k_lo, k_hi):
-        """Fused sort keys for slots [k_lo, k_hi) of the given splats."""
-        kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[None, :]
-        w_s = jnp.maximum(w[ids], 1)[:, None]
-        tiles = (y0[ids][:, None] + kk // w_s) * cfg.tiles_x + (
-            x0[ids][:, None] + kk % w_s
-        )
-        live = kk < count[ids][:, None]
+    def level_keys(vx0, vy0, vw, vcount, vdq, k_lo, k_hi):
+        """Fused sort keys for slots [k_lo, k_hi), SLOT-MAJOR (k, n) layout.
+
+        Slot-major means the flatten to 1-D is a free major-axis reshape;
+        the splat-major (n, k) layout's flatten was a TPU relayout pass
+        costing ~45 ms per 7M elements (see _gather_table_rows docstring).
+        Per-splat vectors arrive as (n,) and broadcast along axis 0.
+        """
+        kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[:, None]
+        w_s = jnp.maximum(vw, 1)[None, :]
+        qq = _floordiv_small(kk, w_s)  # kk // w_s without integer divide
+        rr = kk - qq * w_s  # kk % w_s
+        tiles = (vy0[None, :] + qq) * cfg.tiles_x + (vx0[None, :] + rr)
+        live = kk < vcount[None, :]
         tiles = jnp.where(live, tiles, sentinel).astype(jnp.uint32)
-        return ((tiles << jnp.uint32(depth_bits)) | dq[ids][:, None]).reshape(
-            -1
-        )
+        return (
+            (tiles << jnp.uint32(depth_bits)) | vdq[None, :]
+        ).reshape(-1)
 
     all_ids = jnp.arange(n, dtype=jnp.int32)
-    k1_keys = level_keys(all_ids, 0, k1)
+    k1_keys = level_keys(x0, y0, w, count, dq, 0, k1)
+    row1 = jnp.broadcast_to(all_ids[None, :], (k1, n)).reshape(-1)
     if k2 > 0:
-        keys = jnp.concatenate([k1_keys, level_keys(big_ids, k1, k1 + k2)])
+        keys = jnp.concatenate(
+            [
+                k1_keys,
+                level_keys(
+                    x0[big_ids], y0[big_ids], w[big_ids], count[big_ids],
+                    dq[big_ids], k1, k1 + k2,
+                ),
+            ]
+        )
         slot_row = jnp.concatenate(
             [
-                jnp.broadcast_to(all_ids[:, None], (n, k1)).reshape(-1),
+                row1,
                 jnp.broadcast_to(
-                    big_ids[:, None], (n_big_cap, k2)
+                    big_ids[None, :], (k2, n_big_cap)
                 ).reshape(-1),
             ]
         )
     else:
         keys = k1_keys
-        slot_row = jnp.broadcast_to(all_ids[:, None], (n, k1)).reshape(-1)
+        slot_row = row1
     cap = keys.shape[0]
 
     # ---- 3. ONE stable single-key sort over the fused keys replaces the
     # reference's 64-bit tileID<<32|depth radix sort AND its separate
     # global depth argsort (renderer_ogl.py:41-53): front-to-back order
     # per tile falls out directly, ties (same tile, same depth quantum)
-    # broken deterministically by slot index (stability).
-    key_sorted, perm = jax.lax.sort_key_val(
-        keys, jnp.arange(cap, dtype=jnp.int32), is_stable=True
+    # broken deterministically by flat slot index (stability).  The splat
+    # id rides along as a payload so the sorted-slot -> splat map needs no
+    # second 7M-row gather; the flat slot index payload feeds the
+    # inverse-permutation VJP (dead weight in inference graphs, where the
+    # custom_vjp primal ignores it).
+    key_sorted, rows_sorted, perm = jax.lax.sort(
+        (keys, slot_row, jnp.arange(cap, dtype=jnp.int32)),
+        num_keys=1,
+        is_stable=True,
     )
 
     starts = jnp.searchsorted(
@@ -353,7 +402,7 @@ def bin_splats(
 
     table_src = pack_table(splats)
     inv_perm = _invert_permutation(perm)
-    rows_trunc = slot_row[perm[:cap_mat]]
+    rows_trunc = rows_sorted[:cap_mat]
     table = _gather_table_rows(
         k1, k2, table_src, rows_trunc, inv_perm, big_pos
     )
