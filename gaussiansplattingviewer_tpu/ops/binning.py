@@ -11,17 +11,22 @@ shapes must be static, so the duplicated key buffer has a fixed capacity
 duplicates.  The pipeline:
 
   1. compute each splat's clamped tile-bbox span on the original order;
-  2. TWO-LEVEL dense duplicate expansion: every splat owns
-     ``dense_small_slots`` slots (level 1), and splats covering more tiles
-     draw the remaining ``dup_factor - dense_small_slots`` slots from a
-     bounded big-splat pool (level 2) — sentinel when unused, no scatter is
-     ever issued (TPU scatters are pathologically slow; an earlier 64-pass
-     scatter formulation dominated the frame);
+  2. THREE-LEVEL dense duplicate expansion: every splat owns
+     ``dense_small_slots`` slots (level 1); splats covering more tiles
+     draw extra slots from a bounded MID pool (``dense_mid_slots`` each)
+     or, above that, a FULL pool (up to ``dup_factor``) — sentinel when
+     unused, no scatter is ever issued (TPU scatters are pathologically
+     slow; an earlier 64-pass scatter formulation dominated the frame).
+     All slot buffers are SLOT-MAJOR (k, n) so flattening is a free
+     major-axis reshape;
   3. ONE stable sort over fused u32 (tile | quantized-depth) keys orders
      every tile's list front-to-back in a single pass — subsuming both the
      reference's per-frame global depth argsort (renderer_ogl.py:41-53)
      and the CUDA library's 64-bit tileID<<32|depth radix sort, with
-     deterministic tie-breaking by splat index;
+     deterministic tie-breaking by flat slot index; the splat id and the
+     flat slot index ride as payloads (no second big gather, and the
+     inverse permutation the VJP needs comes from one more key-value
+     sort);
   4. tile ranges via searchsorted and ONE budgeted row gather materializes
      the compact (D, 16) table the blend kernels stream (kernels read
      lane-aligned windows and mask segment overhang, so no padding or
@@ -187,33 +192,37 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
-def _gather_table_rows(k1, k2, pack, rows_trunc, inv_perm, big_pos):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _gather_table_rows(levels, pack, rows_trunc, inv_perm, big_pos):
     """pack[rows_trunc] — materialize the splat-attribute row of each
     (truncated) sorted duplicate slot.
 
+    ``levels = (k1, k2f, k2m, c1, c2)``: level-1 slots per splat, extra
+    slots per full-/mid-pool entry, and the two pool capacities.
+
     The VJP folds slot gradients back onto splats without any scatter:
     ``inv_perm`` maps every flat slot to its sorted position (truncated
-    slots clamp to a zero row), the two dense levels are reduced with
-    contiguous reshapes, and the big-pool level routes back to its splats
-    through ``big_pos`` (a gather).
+    slots clamp to a zero row), each dense level is reduced with a
+    contiguous reshape, and the pool levels route back to their splats
+    through ``big_pos`` (one small gather).
 
     Flat-slot layout is SLOT-MAJOR: level-1 slot (s, splat i) lives at
-    flat = s * n + i, level-2 slot (s, pool entry p) at
-    k1 * n + s * n_pool + p.  Slot-major keeps every reshape on the MAJOR
-    axis — a (k, n) -> (k*n,) flatten is free, whereas the splat-major
-    (n, k) -> (n*k,) interleave is a TPU relayout pass (measured ~45 ms
-    per 7M-element flatten; key construction was ~99 ms of the frame
-    before this layout).
+    flat = s * n + i, pool slot (s, pool entry p) at
+    region_offset + s * pool_cap + p.  Slot-major keeps every reshape on
+    the MAJOR axis — a (k, n) -> (k*n,) flatten is free, whereas the
+    splat-major (n, k) -> (n*k,) interleave is a TPU relayout pass
+    (measured ~45 ms per 7M-element flatten; key construction was ~99 ms
+    of the frame before this layout).
     """
     return pack[rows_trunc]
 
 
-def _gather_table_rows_fwd(k1, k2, pack, rows_trunc, inv_perm, big_pos):
+def _gather_table_rows_fwd(levels, pack, rows_trunc, inv_perm, big_pos):
     return pack[rows_trunc], (pack.shape[0], inv_perm, big_pos)
 
 
-def _gather_table_rows_bwd(k1, k2, res, g):
+def _gather_table_rows_bwd(levels, res, g):
+    k1, k2f, k2m, c1, c2 = levels
     n, inv_perm, big_pos = res
     cap_mat = g.shape[0]
     width = g.shape[-1]
@@ -221,12 +230,27 @@ def _gather_table_rows_bwd(k1, k2, res, g):
     idx = jnp.minimum(inv_perm, cap_mat)  # truncated slots -> zero row
     g_by_flat = g_ext[idx]  # (cap, W) in flat-slot order (slot-major)
     g1 = g_by_flat[: n * k1].reshape(k1, n, width).sum(axis=0)
-    if k2 > 0:
-        g2 = g_by_flat[n * k1 :].reshape(k2, -1, width).sum(axis=0)
-        g2_ext = jnp.concatenate(
-            [g2, jnp.zeros((1, width), g.dtype)], axis=0
-        )
-        g1 = g1 + g2_ext[jnp.minimum(big_pos, g2.shape[0])]
+    if c1 + c2 > 0:
+        # pool entries are ranks in one cat-major order: full pool entries
+        # are ranks [0, c1), mid [c1, c1+c2) — one concatenated table, one
+        # routing gather via big_pos (sentinel c1+c2 -> zero row)
+        o1 = n * k1
+        parts = []
+        if c1 > 0:
+            parts.append(
+                g_by_flat[o1 : o1 + k2f * c1]
+                .reshape(k2f, c1, width)
+                .sum(axis=0)
+            )
+        if c2 > 0:
+            parts.append(
+                g_by_flat[o1 + k2f * c1 :]
+                .reshape(k2m, c2, width)
+                .sum(axis=0)
+            )
+        parts.append(jnp.zeros((1, width), g.dtype))
+        gp = jnp.concatenate(parts, axis=0)  # (c1 + c2 + 1, W)
+        g1 = g1 + gp[jnp.minimum(big_pos, c1 + c2)]
     return g1, None, None, None
 
 
@@ -288,29 +312,48 @@ def bin_splats(
         splats, cfg, ty_lo=row_offset, ty_hi=row_offset + local_rows
     )
 
-    # ---- 2. TWO-LEVEL dense duplicate expansion (scatter-free).  Level 1
-    # gives every splat k1 slots (covers the ~85% of splats touching <= 4
-    # tiles); splats needing more join a big pool of n_big_cap entries with
-    # k2 further slots each.  This keeps the sorted key volume near the
-    # LIVE duplicate count instead of paying dup_factor slots per splat
-    # (16M -> ~8M keys at 1M splats), which dominates both the sort and
-    # the backward fold.
+    # ---- 2. THREE-LEVEL dense duplicate expansion (scatter-free).  Level 1
+    # gives every splat k1 slots (~87% of live splats cover <= 4 tiles);
+    # splats needing more join the MID pool (k2m extra slots each, covers
+    # <= k1+k2m tiles — ~97% of live splats) or, above that, the FULL pool
+    # (k2f = dup_factor - k1 extras).  This keeps the sorted key volume
+    # near the LIVE duplicate count (5.25M slots for ~3.3M live dups at 1M
+    # splats vs 16M for the naive dense scheme) — the sort, both 7M-row
+    # gathers, and the backward inverse fold all scale with it.
     k1 = min(cfg.dense_small_slots, cfg.dup_factor)
-    k2 = cfg.dup_factor - k1
-    n_big_cap = min(n, max(n // 4, 4096))
-    if k2 == 0:
-        n_big_cap = 0
+    k2f = cfg.dup_factor - k1
+    k2m = min(cfg.dense_mid_slots, k2f)
+    c1 = min(n, max(n // cfg.pool_full_fraction, 4096)) if k2f > 0 else 0
+    c2 = (
+        min(n - c1, max(n // cfg.pool_mid_fraction, 4096))
+        if 0 < k2m < k2f
+        else 0
+    )
 
-    is_big = count > k1
-    # stable sort puts big splats first, preserving their relative order
-    sel = jnp.argsort(jnp.where(is_big, 0, 1).astype(jnp.int32), stable=True)
-    pos = _invert_permutation(sel)  # splat -> rank in big-first order
-    in_pool = pos < n_big_cap
-    # big splats that miss the pool are clamped to k1 tiles (counted)
-    spilled = is_big & ~in_pool
+    need_full = count > k1 + k2m if c2 > 0 else count > k1
+    need_any = count > k1
+    # stable 3-way partition: full-pool candidates, then mid, then small —
+    # one argsort; ranks are pool positions.  Pool entries left over after
+    # the hungrier class are filled by the next class (a mid splat in the
+    # full pool simply leaves its extra slots as sentinels).
+    cat = jnp.where(need_full, 0, jnp.where(need_any, 1, 2)).astype(
+        jnp.int32
+    )
+    sel = jnp.argsort(cat, stable=True)
+    pos = _invert_permutation(sel)  # splat -> rank in cat-major order
+    in_p1 = pos < c1
+    in_p2 = (pos >= c1) & (pos < c1 + c2)
+    # full-pool splats that land in the mid pool are clamped to k1+k2m
+    # tiles; splats that miss both pools clamp to k1.  Both count as
+    # overflow (quality diagnostics), neither breaks the render.
+    demoted = need_full & in_p2
+    spilled = need_any & ~(in_p1 | in_p2)
     count = jnp.where(spilled, k1, count)
-    big_ids = sel[:n_big_cap]  # (n_big_cap,) splat ids (some may be small)
-    big_pos = jnp.where(is_big & in_pool, pos, n)
+    if c2 > 0:
+        count = jnp.where(demoted, jnp.minimum(count, k1 + k2m), count)
+    ids1 = sel[:c1]  # (c1,) splat ids of full-pool entries
+    ids2 = sel[c1 : c1 + c2]  # (c2,) splat ids of mid-pool entries
+    big_pos = jnp.where(need_any & (in_p1 | in_p2), pos, c1 + c2)
 
     # fused (tile, depth) sort key: tile id in the high bits, the top
     # ``depth_bits`` of the positive-f32 bit pattern (monotonic in depth —
@@ -342,29 +385,26 @@ def bin_splats(
         ).reshape(-1)
 
     all_ids = jnp.arange(n, dtype=jnp.int32)
-    k1_keys = level_keys(x0, y0, w, count, dq, 0, k1)
-    row1 = jnp.broadcast_to(all_ids[None, :], (k1, n)).reshape(-1)
-    if k2 > 0:
-        keys = jnp.concatenate(
-            [
-                k1_keys,
-                level_keys(
-                    x0[big_ids], y0[big_ids], w[big_ids], count[big_ids],
-                    dq[big_ids], k1, k1 + k2,
-                ),
-            ]
+    keys_parts = [level_keys(x0, y0, w, count, dq, 0, k1)]
+    row_parts = [jnp.broadcast_to(all_ids[None, :], (k1, n)).reshape(-1)]
+    for ids, kx, clen in ((ids1, k2f, c1), (ids2, k2m, c2)):
+        if clen == 0:
+            continue
+        keys_parts.append(
+            level_keys(
+                x0[ids], y0[ids], w[ids], count[ids], dq[ids],
+                k1, k1 + kx,
+            )
         )
-        slot_row = jnp.concatenate(
-            [
-                row1,
-                jnp.broadcast_to(
-                    big_ids[None, :], (k2, n_big_cap)
-                ).reshape(-1),
-            ]
+        row_parts.append(
+            jnp.broadcast_to(ids[None, :], (kx, clen)).reshape(-1)
         )
-    else:
-        keys = k1_keys
-        slot_row = row1
+    keys = (
+        jnp.concatenate(keys_parts) if len(keys_parts) > 1 else keys_parts[0]
+    )
+    slot_row = (
+        jnp.concatenate(row_parts) if len(row_parts) > 1 else row_parts[0]
+    )
     cap = keys.shape[0]
 
     # ---- 3. ONE stable single-key sort over the fused keys replaces the
@@ -404,13 +444,13 @@ def bin_splats(
     inv_perm = _invert_permutation(perm)
     rows_trunc = rows_sorted[:cap_mat]
     table = _gather_table_rows(
-        k1, k2, table_src, rows_trunc, inv_perm, big_pos
+        (k1, k2f, k2m, c1, c2), table_src, rows_trunc, inv_perm, big_pos
     )
     table = jnp.concatenate(
         [table, jnp.zeros((SEGMENT_ALIGN, TABLE_WIDTH), jnp.float32)], axis=0
     )
 
-    overflow_total = jnp.sum(overflowed) + jnp.sum(spilled)
+    overflow_total = jnp.sum(overflowed) + jnp.sum(spilled) + jnp.sum(demoted)
     return BinnedSplats(
         table=table,
         tile_starts=starts,

@@ -58,10 +58,10 @@ def _bwd_kernel(
     gtable_init_ref,  # ANY (16, Dpad) zeros, aliased to output
     gtable_ref,  # ANY (16, Dpad) output
     scratch,  # VMEM (N_BUF, 16, CHUNK)
-    gscratch,  # VMEM (16, CHUNK)
+    gscratch,  # VMEM (N_BUF, 16, CHUNK): double-buffered gradient staging
     gprev_scratch,  # VMEM (16, CHUNK): boundary-block RMW accumulator
     sems,  # DMA (N_BUF,)
-    out_sem,  # DMA ()
+    out_sems,  # DMA (N_BUF,)
     prev_sem,  # DMA ()
     *,
     cfg: RenderConfig,
@@ -109,11 +109,16 @@ def _bwd_kernel(
         )
 
     def put_dma(chunk_idx):
+        # double-buffered: the put for chunk ci streams from gscratch slot
+        # ci % N_BUF while chunk ci+1 computes into the other slot; the
+        # synchronous put.wait() here used to stall the loop on every HBM
+        # write-back
         offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
+        slot = jax.lax.rem(chunk_idx, N_BUF)
         return pltpu.make_async_copy(
-            gscratch,
+            gscratch.at[slot],
             gtable_ref.at[:, pl.ds(offset, CHUNK)],
-            out_sem,
+            out_sems.at[slot],
         )
 
     @pl.when(num_chunks > 0)
@@ -136,6 +141,12 @@ def _bwd_kernel(
             get_dma(next_slot, ci + 1).start()
 
         get_dma(slot, ci).wait()
+        # reclaim this gscratch slot: its previous put (chunk ci - N_BUF)
+        # must have drained before we overwrite the staging buffer
+        @pl.when(ci >= N_BUF)
+        def _():
+            put_dma(ci - N_BUF).wait()
+
         # only the first/last chunk of a tile can share its 128-block with
         # a neighboring tile; interior chunks are exclusively owned, so the
         # read-modify-write accumulate is confined to the boundaries
@@ -221,8 +232,10 @@ def _bwd_kernel(
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )  # (S, 3)
-            gscratch[:, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
-            gscratch[b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(g_col, (1, 0))
+            gscratch[slot, :, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
+            gscratch[slot, b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(
+                g_col, (1, 0)
+            )
         else:
             d_power = jnp.where(unclamped, dl_da * op * gauss, 0.0)
             g_op = jnp.sum(
@@ -247,23 +260,23 @@ def _bwd_kernel(
                 preferred_element_type=jnp.float32,
             )  # (S, 3)
 
-            gscratch[:, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
-            gscratch[b.COL_CX : b.COL_CX + 1, :] = g_cx
-            gscratch[b.COL_CY : b.COL_CY + 1, :] = g_cy
-            gscratch[b.COL_A : b.COL_A + 1, :] = g_ca
-            gscratch[b.COL_B : b.COL_B + 1, :] = g_cb
-            gscratch[b.COL_C : b.COL_C + 1, :] = g_cc
-            gscratch[b.COL_OPACITY : b.COL_OPACITY + 1, :] = g_op
-            gscratch[b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(g_col, (1, 0))
+            gscratch[slot, :, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
+            gscratch[slot, b.COL_CX : b.COL_CX + 1, :] = g_cx
+            gscratch[slot, b.COL_CY : b.COL_CY + 1, :] = g_cy
+            gscratch[slot, b.COL_A : b.COL_A + 1, :] = g_ca
+            gscratch[slot, b.COL_B : b.COL_B + 1, :] = g_cb
+            gscratch[slot, b.COL_C : b.COL_C + 1, :] = g_cc
+            gscratch[slot, b.COL_OPACITY : b.COL_OPACITY + 1, :] = g_op
+            gscratch[slot, b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(
+                g_col, (1, 0)
+            )
 
         @pl.when(boundary)
         def _():
             get_gprev_dma(ci).wait()
-            gscratch[:, :] = gscratch[:, :] + gprev_scratch[:, :]
+            gscratch[slot, :, :] = gscratch[slot, :, :] + gprev_scratch[:, :]
 
-        put = put_dma(ci)
-        put.start()
-        put.wait()
+        put_dma(ci).start()
 
         trans = trans * prefix[:, -1:] * one_m[:, -1:]
         a_dot = a_dot_inc[:, -1:]
@@ -275,6 +288,16 @@ def _bwd_kernel(
     @pl.when(ci < num_chunks)
     def _():
         get_dma(jax.lax.rem(ci, N_BUF), ci).wait()
+
+    # drain the (up to N_BUF) outstanding gradient puts before the next
+    # grid step: its boundary RMW may read blocks this tile just wrote
+    @pl.when(ci >= 1)
+    def _():
+        put_dma(ci - 1).wait()
+
+    @pl.when(ci >= 2)
+    def _():
+        put_dma(ci - 2).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
@@ -312,10 +335,10 @@ def blend_bwd_pallas(
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
-            pltpu.VMEM((TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
             pltpu.VMEM((TABLE_WIDTH, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA((N_BUF,)),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
             pltpu.SemaphoreType.DMA(()),
         ],
     )

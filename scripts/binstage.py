@@ -4,6 +4,10 @@ Each stage is ONE jitted program computing a prefix of the binning pipeline
 and reducing every live intermediate to a scalar (sum) so nothing is DCE'd
 but output transfer stays trivial.  Stage-to-stage deltas are real device
 time, immune to per-dispatch overhead.
+
+NOTE: replicates ops/binning.bin_splats internals as of the TWO-level
+scheme; binning has since moved to three pool levels — keep deltas
+directionally, re-sync before trusting absolute numbers.
 """
 
 import time
