@@ -44,7 +44,7 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from gaussiansplattingviewer_tpu.config import RenderConfig
+from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
 from gaussiansplattingviewer_tpu.ops.projection import ProjectedSplats
 
 # Row layout of the packed splat table (lane-padded to 16 floats):
@@ -365,37 +365,92 @@ def bin_splats(
         jnp.maximum(splats.depth.astype(jnp.float32), 0.0), jnp.uint32
     ) >> jnp.uint32(32 - depth_bits)
 
-    def level_keys(vx0, vy0, vw, vcount, vdq, k_lo, k_hi):
+    # tight-culling per-splat inputs: the exact alpha test needs the
+    # screen center, the conic, and the log-opacity threshold.
+    # max over a tile of alpha = min(clamp, op*exp(-0.5*f_min)) with
+    # f_min = min over the tile's pixel-center rect of the conic quadratic
+    # f(d) = A dx^2 + 2B dx dy + C dy^2 (power = -0.5 f); the tile is dead
+    # (contributes exactly 0 through the alpha_min cutoff,
+    # gau_frag.glsl:25) iff f_min > thr = 2*(ln op - ln alpha_min).
+    do_tight = bool(cfg.tight_culling) and int(cfg.mode) != int(
+        RenderMode.BILLBOARD
+    )
+    if do_tight:
+        import math as _math
+
+        op_m = jnp.where(splats.valid, splats.opacity, 0.0)
+        thr = 2.0 * (
+            jnp.log(jnp.maximum(op_m, 1e-20))
+            - _math.log(cfg.alpha_min)
+        )
+        ccx, ccy = splats.mean2d[:, 0], splats.mean2d[:, 1]
+        ca = jnp.maximum(splats.conic[:, 0], 1e-12)
+        cb = splats.conic[:, 1]
+        cc = jnp.maximum(splats.conic[:, 2], 1e-12)
+        # per-splat ratios so the per-slot edge minimizations are div-free
+        rbc = cb / cc
+        rba = cb / ca
+    else:
+        thr = ccx = ccy = ca = cb = cc = rbc = rba = None
+
+    def level_keys(ids, k_lo, k_hi):
         """Fused sort keys for slots [k_lo, k_hi), SLOT-MAJOR (k, n) layout.
 
         Slot-major means the flatten to 1-D is a free major-axis reshape;
         the splat-major (n, k) layout's flatten was a TPU relayout pass
         costing ~45 ms per 7M elements (see _gather_table_rows docstring).
-        Per-splat vectors arrive as (n,) and broadcast along axis 0.
+        ``ids=None`` means the identity (level 1, avoids gathers).
         """
+        g = (lambda v: v) if ids is None else (lambda v: v[ids])
         kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[:, None]
-        w_s = jnp.maximum(vw, 1)[None, :]
+        w_s = jnp.maximum(g(w), 1)[None, :]
         qq = _floordiv_small(kk, w_s)  # kk // w_s without integer divide
         rr = kk - qq * w_s  # kk % w_s
-        tiles = (vy0[None, :] + qq) * cfg.tiles_x + (vx0[None, :] + rr)
-        live = kk < vcount[None, :]
+        tx_i = g(x0)[None, :] + rr
+        ty_i = g(y0)[None, :] + qq
+        live = kk < g(count)[None, :]
+        if do_tight:
+            ts = float(cfg.tile_size)
+            # pixel-center rect of the candidate tile, relative to the
+            # splat center (ty_i is band-local; row_offset restores the
+            # global pixel row)
+            xlo = tx_i.astype(jnp.float32) * ts + 0.5 - g(ccx)[None, :]
+            ylo = (ty_i + row_offset).astype(jnp.float32) * ts + 0.5 - g(
+                ccy
+            )[None, :]
+            xhi = xlo + (ts - 1.0)
+            yhi = ylo + (ts - 1.0)
+            va, vb, vc = g(ca)[None, :], g(cb)[None, :], g(cc)[None, :]
+            vrbc, vrba = g(rbc)[None, :], g(rba)[None, :]
+
+            def edge_x(ex):  # min of f over the edge dx = ex
+                dy = jnp.clip(-vrbc * ex, ylo, yhi)
+                return ex * (va * ex + 2.0 * vb * dy) + vc * dy * dy
+
+            def edge_y(ey):
+                dx = jnp.clip(-vrba * ey, xlo, xhi)
+                return dx * (va * dx + 2.0 * vb * ey) + vc * ey * ey
+
+            f_min = jnp.minimum(
+                jnp.minimum(edge_x(xlo), edge_x(xhi)),
+                jnp.minimum(edge_y(ylo), edge_y(yhi)),
+            )
+            inside = (xlo <= 0.0) & (xhi >= 0.0) & (ylo <= 0.0) & (yhi >= 0.0)
+            f_min = jnp.where(inside, 0.0, f_min)
+            live = live & (f_min <= g(thr)[None, :])
+        tiles = ty_i * cfg.tiles_x + tx_i
         tiles = jnp.where(live, tiles, sentinel).astype(jnp.uint32)
         return (
-            (tiles << jnp.uint32(depth_bits)) | vdq[None, :]
+            (tiles << jnp.uint32(depth_bits)) | g(dq)[None, :]
         ).reshape(-1)
 
     all_ids = jnp.arange(n, dtype=jnp.int32)
-    keys_parts = [level_keys(x0, y0, w, count, dq, 0, k1)]
+    keys_parts = [level_keys(None, 0, k1)]
     row_parts = [jnp.broadcast_to(all_ids[None, :], (k1, n)).reshape(-1)]
     for ids, kx, clen in ((ids1, k2f, c1), (ids2, k2m, c2)):
         if clen == 0:
             continue
-        keys_parts.append(
-            level_keys(
-                x0[ids], y0[ids], w[ids], count[ids], dq[ids],
-                k1, k1 + kx,
-            )
-        )
+        keys_parts.append(level_keys(ids, k1, k1 + kx))
         row_parts.append(
             jnp.broadcast_to(ids[None, :], (kx, clen)).reshape(-1)
         )

@@ -122,3 +122,24 @@ def test_dup_overflow_counted():
     b = binning.bin_splats(sp, cfg)
     assert int(b.overflow) > 0
     assert int(b.num_duplicates) <= 4 * len(scene.xyz)
+
+
+def test_tight_culling_output_exact():
+    """Tight ellipse/rect tile culling may only drop tiles whose max alpha
+    is below the 1/255 cutoff — i.e. tiles that contribute exactly zero.
+    The rendered image must be identical with it on or off, while the
+    duplicate count must not grow."""
+    cfg_on = RenderConfig(width=160, height=96, tight_culling=True)
+    cfg_off = cfg_on.with_(tight_culling=False)
+    scene = random_scene(512, sh_degree=2, seed=3, extent=1.5, mean_scale=0.1)
+    scene, view, proj, cam_pos = _setup(cfg_on, scene)
+
+    img_on = np.asarray(render(scene, view, proj, cam_pos, cfg_on, backend="tile"))
+    img_off = np.asarray(render(scene, view, proj, cam_pos, cfg_off, backend="tile"))
+    np.testing.assert_allclose(img_on, img_off, rtol=0, atol=1e-6)
+
+    sp = project(scene, jnp.asarray(view, jnp.float32), jnp.asarray(proj, jnp.float32), jnp.asarray(cam_pos), cfg_on)
+    d_on = int(binning.bin_splats(sp, cfg_on).num_duplicates)
+    d_off = int(binning.bin_splats(sp, cfg_off).num_duplicates)
+    assert d_on <= d_off
+    assert d_on > 0
