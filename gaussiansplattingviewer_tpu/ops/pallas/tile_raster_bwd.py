@@ -68,6 +68,7 @@ def _bwd_kernel(
 ):
     del gtable_init_ref
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     p = cfg.tile_size * cfg.tile_size
     start = starts_ref[t]
     end = start + counts_ref[t]
@@ -89,8 +90,11 @@ def _bwd_kernel(
     out_trans = out_res_ref[0, :, 3:4]
     gdot_out = jnp.sum(g_rgb * out_rgb, axis=1, keepdims=True)  # (P, 1)
 
-    def get_dma(slot, chunk_idx):
-        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
+    def get_dma(slot, chunk_idx, tile_base=None):
+        offset = pl.multiple_of(
+            (base if tile_base is None else tile_base) + chunk_idx * CHUNK,
+            CHUNK,
+        )
         return pltpu.make_async_copy(
             table_ref.at[:, pl.ds(offset, CHUNK)],
             scratch.at[slot],
@@ -121,7 +125,9 @@ def _bwd_kernel(
             out_sems.at[slot],
         )
 
-    @pl.when(num_chunks > 0)
+    # cross-tile prefetch (mirrors tile_raster_fwd): the previous grid step
+    # started this tile's chunk 0 into slot 0; only tile 0 starts cold
+    @pl.when((t == 0) & (num_chunks > 0))
     def _():
         get_dma(0, 0).start()
 
@@ -288,6 +294,16 @@ def _bwd_kernel(
     @pl.when(ci < num_chunks)
     def _():
         get_dma(jax.lax.rem(ci, N_BUF), ci).wait()
+
+    # start the next tile's first chunk; all this tile's gets have drained
+    @pl.when(t + 1 < nt)
+    def _():
+        nstart = starts_ref[t + 1]
+        nend = nstart + counts_ref[t + 1]
+
+        @pl.when(nend > nstart)
+        def _():
+            get_dma(0, 0, tile_base=(nstart // CHUNK) * CHUNK).start()
 
     # drain the (up to N_BUF) outstanding gradient puts before the next
     # grid step: its boundary RMW may read blocks this tile just wrote

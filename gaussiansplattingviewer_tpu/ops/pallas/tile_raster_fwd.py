@@ -123,6 +123,7 @@ def _fwd_kernel(
     cfg: RenderConfig,
 ):
     t = pl.program_id(0)
+    nt = pl.num_programs(0)
     p = cfg.tile_size * cfg.tile_size
     start = starts_ref[t]
     end = start + counts_ref[t]
@@ -139,15 +140,22 @@ def _fwd_kernel(
     px = tx * ts + jax.lax.rem(local, ts).astype(jnp.float32) + 0.5
     py = ty * ts + jax.lax.div(local, ts).astype(jnp.float32) + 0.5
 
-    def get_dma(slot, chunk_idx):
-        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
+    def get_dma(slot, chunk_idx, tile_base=None):
+        offset = pl.multiple_of(
+            (base if tile_base is None else tile_base) + chunk_idx * CHUNK,
+            CHUNK,
+        )
         return pltpu.make_async_copy(
             table_ref.at[:, pl.ds(offset, CHUNK)],
             scratch.at[slot],
             sems.at[slot],
         )
 
-    @pl.when(num_chunks > 0)
+    # cross-tile prefetch: every grid step starts the NEXT tile's chunk 0
+    # into slot 0 before exiting (scratch and semaphores persist across the
+    # sequential TPU grid), so a tile's first DMA is cold only at t == 0 —
+    # the wait below then matches the copy its predecessor issued.
+    @pl.when((t == 0) & (num_chunks > 0))
     def _():
         get_dma(0, 0).start()
 
@@ -183,6 +191,17 @@ def _fwd_kernel(
     @pl.when(ci < num_chunks)
     def _():
         get_dma(jax.lax.rem(ci, N_BUF), ci).wait()
+
+    # start the next tile's first chunk (see comment above); all of this
+    # tile's gets have drained, so slot 0 is free
+    @pl.when(t + 1 < nt)
+    def _():
+        nstart = starts_ref[t + 1]
+        nend = nstart + counts_ref[t + 1]
+
+        @pl.when(nend > nstart)
+        def _():
+            get_dma(0, 0, tile_base=(nstart // CHUNK) * CHUNK).start()
 
     out_ref[0, :, 0:3] = rgb
     out_ref[0, :, 3:4] = trans
