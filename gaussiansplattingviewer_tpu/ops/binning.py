@@ -56,6 +56,9 @@ COL_R, COL_G, COL_BCH = 5, 6, 7
 COL_OPACITY = 8
 COL_RX, COL_RY = 9, 10
 COL_DEPTH = 11
+# columns 0..8 (cx..opacity) are the only ones the blend differentiates;
+# radius/depth/padding are forward-only
+GRAD_WIDTH = COL_OPACITY + 1
 
 
 # Chunk granularity of the Pallas blend kernels (128 f32 = one TPU lane
@@ -225,7 +228,12 @@ def _gather_table_rows_bwd(levels, res, g):
     k1, k2f, k2m, c1, c2 = levels
     n, inv_perm, big_pos = res
     cap_mat = g.shape[0]
-    width = g.shape[-1]
+    # only the first GRAD_WIDTH columns (cx..opacity, see layout above) ever
+    # carry gradient — the blend kernels never differentiate radius/depth —
+    # so the big inverse gather moves 9 columns, not 16 (fewer bytes AND a
+    # smaller source, both of which the per-row gather cost tracks)
+    width = GRAD_WIDTH
+    g = g[:, :width]
     g_ext = jnp.concatenate([g, jnp.zeros((1, width), g.dtype)], axis=0)
     idx = jnp.minimum(inv_perm, cap_mat)  # truncated slots -> zero row
     g_by_flat = g_ext[idx]  # (cap, W) in flat-slot order (slot-major)
@@ -251,6 +259,10 @@ def _gather_table_rows_bwd(levels, res, g):
         parts.append(jnp.zeros((1, width), g.dtype))
         gp = jnp.concatenate(parts, axis=0)  # (c1 + c2 + 1, W)
         g1 = g1 + gp[jnp.minimum(big_pos, c1 + c2)]
+    # pad the zero-gradient columns (radius, depth, spare) back on
+    g1 = jnp.concatenate(
+        [g1, jnp.zeros((n, TABLE_WIDTH - width), g.dtype)], axis=1
+    )
     return g1, None, None, None
 
 
