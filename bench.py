@@ -1,16 +1,23 @@
 """Benchmark: Mpix/s/chip forward+backward at 1080p (BASELINE.json metric).
 
 Scene: 1M synthetic Gaussians statistically similar to a MipNeRF-360
-pretrained PLY (no pretrained checkpoints ship with this repo; "garden" is
-~5.8M splats — scale via --n-splats when a real PLY is available, or pass
---ply PATH to load one).
+pretrained PLY (no pretrained checkpoints ship with this repo; pass
+``--garden`` for a garden-sized 5.8M-splat anisotropic scene, or
+``--ply PATH`` to load a real one).
+
+The measured step is a FULL training step — loss + backward + SGD update —
+with all ``--iters`` steps fused into one jit'd ``lax.scan``: parameters and
+gradients stay in HBM across steps exactly as a real training loop keeps
+them (the tunneled backend charges ~45 ms per program boundary on the 236MB
+gradient pytree, which no real training loop pays per step; see PERF.md).
+``--no-fuse`` falls back to one grad() program per step.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline divides by 36.6 Mpix/s — the reference viewer's estimated
 FORWARD-ONLY throughput (0.61 Mpix at ~60 fps, README.md:46's "comparable
 to the official CUDA renderer"; it publishes no numbers, BASELINE.md) —
-while this measures forward+BACKWARD, so >1.0 means the differentiable TPU
-path beats the reference's display-only path.
+while this measures forward+BACKWARD+update, so >1.0 means the
+differentiable TPU path beats the reference's display-only path.
 """
 
 import argparse
@@ -24,12 +31,16 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-splats", type=int, default=1_000_000)
+    ap.add_argument("--garden", action="store_true",
+                    help="garden-sized scene: 5.8M anisotropic splats")
     ap.add_argument("--ply", type=str, default=None)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--forward-only", action="store_true")
+    ap.add_argument("--no-fuse", action="store_true",
+                    help="one program per step instead of one fused scan")
     ap.add_argument("--backend", type=str, default=None)
     args = ap.parse_args()
 
@@ -51,6 +62,17 @@ def main():
         scene, bbox, center = load_ply(args.ply)
         eye = center + np.array([0, 0, 3.0])
         look = center
+    elif args.garden:
+        # garden-scale worst case: 5.8M splats (the size of the MipNeRF-360
+        # garden PLY at iteration_30000, /root/reference/main.py:722) with
+        # trained-3DGS-like anisotropy (per-axis log-normal, axis ratios up
+        # to ~10x) and a bimodal opacity mix.
+        scene = random_scene(
+            5_800_000, sh_degree=3, seed=0, extent=6.0, mean_scale=0.012,
+            anisotropy=1.0, opacity_mix=True,
+        )
+        eye = np.array([0, 0, 11.0])
+        look = np.zeros(3)
     else:
         scene = random_scene(
             args.n_splats, sh_degree=3, seed=0, extent=4.0, mean_scale=0.015
@@ -63,20 +85,39 @@ def main():
     cam.fovy = 1.0  # wide enough to see most of the synthetic box
     view = jnp.asarray(tf.look_at(eye, look, [0, -1, 0]))
     proj = jnp.asarray(cam.get_project_matrix())
-    cam_pos = jnp.asarray(eye.astype(np.float32))
+    cam_pos = jnp.asarray(np.asarray(eye, dtype=np.float32))
+
+    def loss_fn(sc):
+        img = render(sc, view, proj, cam_pos, cfg, backend=backend)
+        return jnp.sum(img * img)
 
     if args.forward_only:
+        frames_per_call = 1
+
+        @jax.jit
         def step(sc):
             return render(sc, view, proj, cam_pos, cfg, backend=backend)
+
+    elif args.no_fuse:
+        frames_per_call = 1
+        step = jax.jit(jax.grad(loss_fn))
     else:
-        def loss(sc):
-            img = render(sc, view, proj, cam_pos, cfg, backend=backend)
-            return jnp.sum(img * img)
+        # the whole timed loop as ONE program: lax.scan over SGD steps, so
+        # the 236MB gradient pytree never crosses a program boundary
+        frames_per_call = args.iters
+        lr = 1e-12  # keep the scene statistically unchanged across steps
 
-        grad_fn = jax.grad(loss)
+        def train_step(sc, _):
+            loss, grads = jax.value_and_grad(loss_fn)(sc)
+            sc = jax.tree.map(lambda p, g: p - lr * g, sc, grads)
+            return sc, loss
 
+        @jax.jit
         def step(sc):
-            return grad_fn(sc)
+            sc, losses = jax.lax.scan(
+                train_step, sc, None, length=args.iters
+            )
+            return losses
 
     def hard_sync(out):
         # jax.block_until_ready can return early on tunneled/remote
@@ -84,19 +125,22 @@ def main():
         leaf = jax.tree.leaves(out)[0]
         np.asarray(leaf.reshape(-1)[:4])
 
+    calls = 1 if frames_per_call > 1 else args.iters
+
     # warmup / compile
-    for _ in range(max(args.warmup, 1)):
+    for _ in range(max(args.warmup, 1) if frames_per_call == 1 else 1):
         out = step(scene)
     hard_sync(out)
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
+    for _ in range(calls):
         out = step(scene)
     hard_sync(out)
     dt = time.perf_counter() - t0
 
+    frames = calls * frames_per_call
     mpix = cfg.width * cfg.height / 1e6
-    mpix_s = mpix * args.iters / dt
+    mpix_s = mpix * frames / dt
     ref_forward_only_mpix_s = 36.6  # see module docstring
     result = {
         "metric": "Mpix/s/chip fwd+bwd 1080p"
@@ -109,7 +153,7 @@ def main():
     print(json.dumps(result))
     print(
         f"# backend={backend} n={len(scene)} {cfg.width}x{cfg.height} "
-        f"iters={args.iters} time={dt:.2f}s ms/frame={dt/args.iters*1000:.1f}",
+        f"frames={frames} time={dt:.2f}s ms/frame={dt/frames*1000:.1f}",
         file=sys.stderr,
     )
 

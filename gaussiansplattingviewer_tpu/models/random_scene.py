@@ -19,16 +19,32 @@ def random_scene(
     seed: int = 0,
     extent: float = 4.0,
     mean_scale: float = 0.01,
+    anisotropy: float = 0.5,
+    opacity_mix: bool = False,
 ) -> GaussianData:
-    """Generate ``n`` random Gaussians inside ``[-extent, extent]^3``."""
+    """Generate ``n`` random Gaussians inside ``[-extent, extent]^3``.
+
+    anisotropy: per-axis log-normal sigma; trained 3DGS splats are strongly
+      anisotropic (axis ratios up to ~10x), which ~1.0 reproduces.
+    opacity_mix: bimodal opacities like a trained scene (a near-opaque mode
+      plus a translucent haze mode) instead of uniform [0.2, 0.9].
+    """
     rng = np.random.default_rng(seed)
     xyz = rng.uniform(-extent, extent, size=(n, 3)).astype(np.float32)
     rot = rng.normal(size=(n, 4)).astype(np.float32)
     rot /= np.linalg.norm(rot, axis=1, keepdims=True)
     scale = np.exp(
-        rng.normal(np.log(mean_scale), 0.5, size=(n, 3))
+        rng.normal(np.log(mean_scale), anisotropy, size=(n, 3))
     ).astype(np.float32)
-    opacity = rng.uniform(0.2, 0.9, size=(n, 1)).astype(np.float32)
+    if opacity_mix:
+        solid = rng.uniform(size=(n, 1)) < 0.55
+        opacity = np.where(
+            solid,
+            rng.uniform(0.85, 1.0, size=(n, 1)),
+            rng.beta(1.2, 3.0, size=(n, 1)),
+        ).astype(np.float32)
+    else:
+        opacity = rng.uniform(0.2, 0.9, size=(n, 1)).astype(np.float32)
     k = 3 * (sh_degree + 1) ** 2
     sh = np.zeros((n, k), dtype=np.float32)
     # DC chosen so colors land roughly in [0,1] after the +0.5 offset

@@ -396,6 +396,12 @@ def bin_splats(
             - _math.log(cfg.alpha_min)
         )
         ccx, ccy = splats.mean2d[:, 0], splats.mean2d[:, 1]
+        # PD PRECONDITION: the edge-minimization below (and these clamps,
+        # which guard the divisions) is only output-exact for positive-
+        # definite conics.  projection.py guarantees PD (it inverts
+        # cov2d + 0.3*I, gau_vert.glsl:117-118); if a future projection
+        # change can emit non-PD conics, skip culling for those splats or
+        # this test may cull a tile the blend kernels would render.
         ca = jnp.maximum(splats.conic[:, 0], 1e-12)
         cb = splats.conic[:, 1]
         cc = jnp.maximum(splats.conic[:, 2], 1e-12)

@@ -37,15 +37,20 @@ N_BUF = 2
 
 
 def _inclusive_cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix sum along axis 1 (Hillis-Steele roll-add scan)."""
+    """Inclusive prefix sum along axis 1 as ONE triangular matmul on the
+    MXU (the roll-add Hillis-Steele scan was 21 VPU ops on the full
+    block)."""
     s = x.shape[1]
-    col = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
-    y = x
-    d = 1
-    while d < s:
-        y = y + jnp.where(col >= d, pltpu.roll(y, shift=d, axis=1), 0.0)
-        d *= 2
-    return y
+    ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
+    tri_incl = (ri <= ci).astype(jnp.float32)  # [j, i] = 1 iff j <= i
+    return jax.lax.dot_general(
+        x,
+        tri_incl,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _bwd_kernel(
@@ -80,9 +85,27 @@ def _bwd_kernel(
     ts = cfg.tile_size
     tx = (t % cfg.tiles_x).astype(jnp.float32)
     ty = (t // cfg.tiles_x + rowoff_ref[0]).astype(jnp.float32)
+    # TILE-LOCAL pixel coordinates: the gradient reductions below are
+    # computed from moment sums against a per-tile-constant polynomial
+    # basis, and local coords keep the moment magnitudes small enough that
+    # the recombination (e.g. Sxx = Mxx - 2 cx Mx + cx^2 M0) is f32-safe.
+    # All fragment math is translation-invariant, so splat centers are
+    # simply shifted into the same frame.
     local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
-    px = tx * ts + jax.lax.rem(local, ts).astype(jnp.float32) + 0.5
-    py = ty * ts + jax.lax.div(local, ts).astype(jnp.float32) + 0.5
+    px = jax.lax.rem(local, ts).astype(jnp.float32) + 0.5  # (P, 1) local
+    py = jax.lax.div(local, ts).astype(jnp.float32) + 0.5
+    ox = tx * ts  # tile origin in global pixels
+    oy = ty * ts
+    # constant (8, P) moment basis [1, x, y, x^2, xy, y^2, 0, 0]
+    lp = jax.lax.broadcasted_iota(jnp.int32, (1, p), 1)
+    pxr = jax.lax.rem(lp, ts).astype(jnp.float32) + 0.5  # (1, P)
+    pyr = jax.lax.div(lp, ts).astype(jnp.float32) + 0.5
+    ones_r = jnp.ones((1, p), jnp.float32)
+    zeros_r = jnp.zeros((1, p), jnp.float32)
+    basis = jnp.concatenate(
+        [ones_r, pxr, pyr, pxr * pxr, pxr * pyr, pyr * pyr, zeros_r, zeros_r],
+        axis=0,
+    )  # (8, P)
 
     g_rgb = g_ref[0, :, 0:3]  # (P, 3)
     g_trans = g_ref[0, :, 3:4]  # (P, 1)
@@ -170,8 +193,8 @@ def _bwd_kernel(
         )
         live = (col >= start) & (col < end)
 
-        cx = rows[b.COL_CX : b.COL_CX + 1, :]
-        cy = rows[b.COL_CY : b.COL_CY + 1, :]
+        cx = rows[b.COL_CX : b.COL_CX + 1, :] - ox  # tile-local frame
+        cy = rows[b.COL_CY : b.COL_CY + 1, :] - oy
         ca = rows[b.COL_A : b.COL_A + 1, :]
         cb = rows[b.COL_B : b.COL_B + 1, :]
         cc = rows[b.COL_C : b.COL_C + 1, :]
@@ -244,20 +267,34 @@ def _bwd_kernel(
             )
         else:
             d_power = jnp.where(unclamped, dl_da * op * gauss, 0.0)
-            g_op = jnp.sum(
-                jnp.where(unclamped, dl_da * gauss, 0.0),
-                axis=0,
-                keepdims=True,
-            )
-            g_ca = jnp.sum(d_power * (-0.5 * dx * dx), axis=0, keepdims=True)
-            g_cb = jnp.sum(d_power * (-dx * dy), axis=0, keepdims=True)
-            g_cc = jnp.sum(d_power * (-0.5 * dy * dy), axis=0, keepdims=True)
-            g_cx = jnp.sum(
-                d_power * (ca * dx + cb * dy), axis=0, keepdims=True
-            )
-            g_cy = jnp.sum(
-                d_power * (cc * dy + cb * dx), axis=0, keepdims=True
-            )
+            # All six pixel-reductions (opacity, conic x3, center x2) are
+            # moments of d_power against the constant polynomial basis:
+            # ONE (8, P) x (P, S) MXU matmul replaces ~12 full-block VPU
+            # multiply+reduce passes.  dx = px - cx, so e.g.
+            #   sum_p d_power dx^2 = Mxx - 2 cx Mx + cx^2 M0
+            # with M* = sum_p d_power * basis_*; tile-local coords keep
+            # these recombinations far from f32 cancellation.
+            m = jax.lax.dot_general(
+                basis,
+                d_power,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (8, S)
+            m0 = m[0:1]
+            sx = m[1:2] - cx * m0  # sum d_power * dx
+            sy = m[2:3] - cy * m0
+            sxx = m[3:4] - cx * (2.0 * m[1:2] - cx * m0)
+            sxy = m[4:5] - cx * m[2:3] - cy * m[1:2] + cx * cy * m0
+            syy = m[5:6] - cy * (2.0 * m[2:3] - cy * m0)
+            # d_power = unclamped * dl_da * op * gauss and op is constant
+            # along pixels, so g_op = sum(unclamped * dl_da * gauss) = M0/op
+            g_op = jnp.where(op > 0.0, m0 / jnp.maximum(op, 1e-20), 0.0)
+            g_ca = -0.5 * sxx
+            g_cb = -sxy
+            g_cc = -0.5 * syy
+            g_cx = ca * sx + cb * sy
+            g_cy = cc * sy + cb * sx
             # (S, P) x (P, 3) -> per-splat color grads, on the MXU
             g_col = jax.lax.dot_general(
                 w,
@@ -307,13 +344,10 @@ def _bwd_kernel(
 
     # drain the (up to N_BUF) outstanding gradient puts before the next
     # grid step: its boundary RMW may read blocks this tile just wrote
-    @pl.when(ci >= 1)
-    def _():
-        put_dma(ci - 1).wait()
-
-    @pl.when(ci >= 2)
-    def _():
-        put_dma(ci - 2).wait()
+    for k in range(N_BUF):
+        @pl.when(ci >= k + 1)
+        def _(k=k):
+            put_dma(ci - 1 - k).wait()
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
