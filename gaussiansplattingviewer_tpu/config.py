@@ -46,15 +46,20 @@ class RenderConfig:
         renderer_ogl.py:148-149; slider in main.py).
       tile_size: rasterizer tile edge in pixels. The reference CUDA library
         uses 16; on TPU 16x16=256 pixels maps to two 8x128 VPU registers.
-      max_tiles_per_gaussian: static cap on how many tiles a single splat may
-        be duplicated into (XLA needs static shapes; splats covering more
-        tiles are clamped to their nearest tiles).
-      dup_factor: tile-duplicate slots per Gaussian — both the memory
-        budget (the key buffer is ``dup_factor * N``) and the hard per-splat
-        tile cap of the dense binning (splats covering more tiles are
-        clamped to a recentered window and counted in the overflow
-        diagnostic).  16 covers a 4x4-tile (64 px at tile_size 16)
-        footprint; raise it for extreme close-ups.
+      max_tiles_per_gaussian: OPTIONAL static cap on how many tiles a
+        single splat may be duplicated into.  0 (default) = UNBOUNDED, the
+        reference semantics (the GL quad covers every tile it overlaps,
+        gau_vert.glsl:174-178): splats beyond dup_factor tiles draw slots
+        from the HUGE pool, whose per-entry slot count is the whole tile
+        grid.  A positive value clamps spans to a recentered window of
+        that many tiles (counted in the overflow diagnostic) and bounds
+        the huge pool's per-entry slots — a memory knob for extreme
+        resolutions.
+      dup_factor: tile-duplicate slots per Gaussian at the FULL-pool tier
+        (the key buffer's dominant term is ~dup_factor-ish * N across the
+        dense level + pools).  Splats covering more than dup_factor tiles
+        escalate to the huge pool.  16 covers a 4x4-tile (64 px at
+        tile_size 16) footprint.
       dense_small_slots: level-1 duplicate slots every splat gets in the
         dense binning; splats covering more tiles draw extra slots from
         two bounded pools (below).
@@ -69,15 +74,20 @@ class RenderConfig:
         (7M -> 5.25M at 1M splats) — every per-duplicate cost (sort,
         gathers, backward fold) scales with it.  Splats that miss both
         pools clamp to dense_small_slots tiles and count as overflow.
-      pool_mid_fraction / pool_full_fraction: N/fraction bounds the two
-        pool capacities (raise the denominators to shrink the buffers,
-        lower them for extreme close-up robustness).
+      pool_mid_fraction / pool_full_fraction / pool_huge_fraction:
+        N/fraction bounds the pool entry counts (raise the denominators to
+        shrink the buffers, lower them for extreme close-up robustness).
+        The huge pool holds max(N/pool_huge_fraction, 32) entries, each
+        with a full-grid slot span — it exists so per-splat tile coverage
+        is unbounded like the reference's, while staying a small fraction
+        of total key volume (~10% at 1M splats, 1080p).
       table_budget_factor: materialized splat-table rows per Gaussian.
         The dense key buffer is dup_factor*N, but only ~2-4 duplicates per
         splat are typically live; the table (and every gather over it) is
         sized table_budget_factor*N and the sorted tail beyond it is
         truncated (highest tile indices; reported in the ``truncated``
-        diagnostic).  Must be <= dup_factor.
+        diagnostic).  May exceed dup_factor when huge-pool coverage
+        (close-ups) needs more materialized rows than dup_factor*N.
       stereo_baseline: world-space x offset used by DEPTH mode
         (ref gau_vert.glsl:184 hardcodes -0.5; gau_vert_2/3 use -0.3/-0.5).
       depth_scale_inflate: extra scale multiplier applied in DEPTH mode
@@ -109,12 +119,13 @@ class RenderConfig:
     mode: RenderMode = RenderMode.SH3
     scale_modifier: float = 1.0
     tile_size: int = 16
-    max_tiles_per_gaussian: int = 64
+    max_tiles_per_gaussian: int = 0
     dup_factor: int = 16
     dense_small_slots: int = 4
     dense_mid_slots: int = 4
     pool_mid_fraction: int = 8
     pool_full_fraction: int = 16
+    pool_huge_fraction: int = 16384
     table_budget_factor: int = 8
     stereo_baseline: float = -0.5
     depth_scale_inflate: float = 1.2

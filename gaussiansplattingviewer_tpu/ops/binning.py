@@ -113,13 +113,25 @@ def _floordiv_small(a, b):
     return q.astype(jnp.int32)
 
 
-def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
-    """Per-splat tile-index bbox clamped to the grid, to the tile-row window
-    [ty_lo, ty_hi) (used by the multi-chip row sharding; defaults to the
-    full grid), and to the static duplicate cap.
+def tile_bbox(
+    splats: ProjectedSplats,
+    cfg: RenderConfig,
+    ty_lo=0,
+    ty_hi=None,
+    row_stride: int = 1,
+):
+    """Per-splat tile-index bbox clamped to the grid, to the tile-row set
+    owned by this shard, and to the static duplicate cap.
 
-    Returns (x0, y0_local, w, h, count, overflowed) where y0_local is
-    relative to ty_lo.
+    The shard owns the arithmetic progression of GLOBAL tile rows
+    ``{ty_lo + s * row_stride : ty_lo + s * row_stride < ty_hi}`` —
+    ``row_stride == 1`` is the contiguous band [ty_lo, ty_hi) of the
+    default sharding, ``row_stride == n_shards`` with ``ty_lo = idx`` is
+    the INTERLEAVED assignment that de-skews load when scene density is
+    top/bottom-heavy (sky rows vs ground rows).
+
+    Returns (x0, y0_local, w, h, count, overflowed) where y0_local indexes
+    the shard's local row sequence (s above).
     """
     ts = float(cfg.tile_size)
     tx_n, ty_n = cfg.tiles_x, cfg.tiles_y
@@ -146,10 +158,16 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
 
     w = x1 - x0 + 1
     h = y1 - y0 + 1
-    # static cap: shrink the span symmetrically around the center tile.
-    # The dense duplicate expansion stores exactly dup_factor slots per
-    # splat, so that is the hard per-splat tile budget.
-    kmax = min(cfg.max_tiles_per_gaussian, cfg.dup_factor)
+    # OPTIONAL static cap (cfg.max_tiles_per_gaussian > 0): shrink the
+    # span symmetrically around the center tile.  The default (0) is
+    # UNBOUNDED like the reference quad coverage (gau_vert.glsl:174-178);
+    # the huge pool in bin_splats provides full-grid slot spans, so no
+    # clamp is needed here and ``overflowed`` stays False.
+    kmax = (
+        cfg.max_tiles_per_gaussian
+        if cfg.max_tiles_per_gaussian > 0
+        else tx_n * ty_n
+    )
     overflowed = (w * h) > kmax
     # greedy clamp: bound each axis at kmax, then bound h by kmax // w
     w_c = jnp.minimum(w, kmax)
@@ -172,15 +190,27 @@ def tile_bbox(splats: ProjectedSplats, cfg: RenderConfig, ty_lo=0, ty_hi=None):
     w = jnp.where(overflowed, w_c, w)
     y1 = jnp.where(overflowed, y0 + h_c - 1, y1)
 
-    # now intersect the (possibly clamped) window with the band
-    y0b = jnp.maximum(y0, ty_lo)
-    y1b = jnp.minimum(y1, ty_hi - 1)
-    h = y1b - y0b + 1
+    # now intersect the (possibly clamped) window with the shard's row set
+    # {ty_lo + s * row_stride} ∩ [ty_lo, ty_hi): first local row s0 is the
+    # smallest s with ty_lo + s*stride >= y0, last is the largest with
+    # ty_lo + s*stride <= min(y1, ty_hi - 1)
+    if row_stride == 1:
+        y0b = jnp.maximum(y0, ty_lo)
+        y1b = jnp.minimum(y1, ty_hi - 1)
+        s0 = y0b - ty_lo
+        h = y1b - y0b + 1
+    else:
+        lo = jnp.maximum(y0 - ty_lo, 0)
+        hi = jnp.minimum(y1, ty_hi - 1) - ty_lo
+        s0 = _floordiv_small(lo + (row_stride - 1), row_stride)
+        s1 = _floordiv_small(jnp.maximum(hi, 0), row_stride)
+        s1 = jnp.where(hi < 0, -1, s1)
+        h = s1 - s0 + 1
     in_band = h > 0
 
     live = splats.valid & onscreen & in_band
     count = jnp.where(live, w * h, 0)
-    return x0, y0b - ty_lo, w, jnp.maximum(h, 0), count, overflowed & live
+    return x0, s0, w, jnp.maximum(h, 0), count, overflowed & live
 
 
 # ---------------------------------------------------------------------------
@@ -200,8 +230,10 @@ def _gather_table_rows(levels, pack, rows_trunc, inv_perm, big_pos):
     """pack[rows_trunc] — materialize the splat-attribute row of each
     (truncated) sorted duplicate slot.
 
-    ``levels = (k1, k2f, k2m, c1, c2)``: level-1 slots per splat, extra
-    slots per full-/mid-pool entry, and the two pool capacities.
+    ``levels = (k1, pools)`` with ``pools = ((k2h, ch), (k2f, c1),
+    (k2m, c2))``: level-1 slots per splat, then (extra-slots-per-entry,
+    entry-count) for each pool tier in cat-major rank order (huge, full,
+    mid).
 
     The VJP folds slot gradients back onto splats without any scatter:
     ``inv_perm`` maps every flat slot to its sorted position (truncated
@@ -225,7 +257,7 @@ def _gather_table_rows_fwd(levels, pack, rows_trunc, inv_perm, big_pos):
 
 
 def _gather_table_rows_bwd(levels, res, g):
-    k1, k2f, k2m, c1, c2 = levels
+    k1, pools = levels
     n, inv_perm, big_pos = res
     cap_mat = g.shape[0]
     # only the first GRAD_WIDTH columns (cx..opacity, see layout above) ever
@@ -238,27 +270,25 @@ def _gather_table_rows_bwd(levels, res, g):
     idx = jnp.minimum(inv_perm, cap_mat)  # truncated slots -> zero row
     g_by_flat = g_ext[idx]  # (cap, W) in flat-slot order (slot-major)
     g1 = g_by_flat[: n * k1].reshape(k1, n, width).sum(axis=0)
-    if c1 + c2 > 0:
-        # pool entries are ranks in one cat-major order: full pool entries
-        # are ranks [0, c1), mid [c1, c1+c2) — one concatenated table, one
-        # routing gather via big_pos (sentinel c1+c2 -> zero row)
-        o1 = n * k1
+    total_pool = sum(c for _, c in pools)
+    if total_pool > 0:
+        # pool entries are ranks in ONE cat-major order (huge, full, mid
+        # concatenated) — one concatenated gradient table, one routing
+        # gather via big_pos (sentinel total_pool -> zero row)
+        off = n * k1
         parts = []
-        if c1 > 0:
+        for kx, clen in pools:
+            if clen == 0:
+                continue
             parts.append(
-                g_by_flat[o1 : o1 + k2f * c1]
-                .reshape(k2f, c1, width)
+                g_by_flat[off : off + kx * clen]
+                .reshape(kx, clen, width)
                 .sum(axis=0)
             )
-        if c2 > 0:
-            parts.append(
-                g_by_flat[o1 + k2f * c1 :]
-                .reshape(k2m, c2, width)
-                .sum(axis=0)
-            )
+            off += kx * clen
         parts.append(jnp.zeros((1, width), g.dtype))
-        gp = jnp.concatenate(parts, axis=0)  # (c1 + c2 + 1, W)
-        g1 = g1 + gp[jnp.minimum(big_pos, c1 + c2)]
+        gp = jnp.concatenate(parts, axis=0)  # (total_pool + 1, W)
+        g1 = g1 + gp[jnp.minimum(big_pos, total_pool)]
     # pad the zero-gradient columns (radius, depth, spare) back on
     g1 = jnp.concatenate(
         [g1, jnp.zeros((n, TABLE_WIDTH - width), g.dtype)], axis=1
@@ -297,19 +327,24 @@ def pack_table(splats: ProjectedSplats) -> jax.Array:
     return cols
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
 def bin_splats(
     splats: ProjectedSplats,
     cfg: RenderConfig,
     row_offset=0,
     local_rows: int | None = None,
+    row_stride: int = 1,
 ) -> BinnedSplats:
     """Build depth-ordered per-tile lists (see module docstring).
 
-    row_offset / local_rows select a horizontal band of ``local_rows`` tile
-    rows starting at tile row ``row_offset`` — the unit of multi-chip image
-    sharding (parallel/).  Defaults cover the whole image.  ``local_rows``
-    is static (shapes depend on it); ``row_offset`` may be traced
+    row_offset / local_rows / row_stride select the arithmetic progression
+    of ``local_rows`` GLOBAL tile rows {row_offset + s * row_stride} — the
+    unit of multi-chip image sharding (parallel/): stride 1 is a
+    contiguous band, stride n_shards the interleaved assignment.  Defaults
+    cover the whole image.  ``local_rows``/``row_stride`` are static
+    (shapes depend on them); ``row_offset`` may be traced
     (e.g. lax.axis_index inside shard_map).
     """
     n = splats.depth.shape[0]
@@ -320,52 +355,84 @@ def bin_splats(
 
     # ---- 1. spans on the ORIGINAL splat order
     row_offset = jnp.asarray(row_offset, jnp.int32)
+    ty_hi = (
+        row_offset + local_rows
+        if row_stride == 1
+        else row_offset + (local_rows - 1) * row_stride + 1
+    )
     x0, y0, w, h, count, overflowed = tile_bbox(
-        splats, cfg, ty_lo=row_offset, ty_hi=row_offset + local_rows
+        splats, cfg, ty_lo=row_offset, ty_hi=ty_hi, row_stride=row_stride
     )
 
-    # ---- 2. THREE-LEVEL dense duplicate expansion (scatter-free).  Level 1
+    # ---- 2. FOUR-LEVEL dense duplicate expansion (scatter-free).  Level 1
     # gives every splat k1 slots (~87% of live splats cover <= 4 tiles);
     # splats needing more join the MID pool (k2m extra slots each, covers
-    # <= k1+k2m tiles — ~97% of live splats) or, above that, the FULL pool
-    # (k2f = dup_factor - k1 extras).  This keeps the sorted key volume
-    # near the LIVE duplicate count (5.25M slots for ~3.3M live dups at 1M
-    # splats vs 16M for the naive dense scheme) — the sort, both 7M-row
-    # gathers, and the backward inverse fold all scale with it.
+    # <= k1+k2m tiles — ~97% of live splats), the FULL pool (k2f =
+    # dup_factor - k1 extras), or — beyond dup_factor tiles — the HUGE
+    # pool, whose per-entry slot span is the whole (band) tile grid, so
+    # per-splat coverage is UNBOUNDED like the reference quad's
+    # (gau_vert.glsl:174-178).  This keeps the sorted key volume near the
+    # LIVE duplicate count — the sort, both big gathers, and the backward
+    # inverse fold all scale with it — while close-up splats still cover
+    # every tile they overlap.
     k1 = min(cfg.dense_small_slots, cfg.dup_factor)
     k2f = cfg.dup_factor - k1
     k2m = min(cfg.dense_mid_slots, k2f)
-    c1 = min(n, max(n // cfg.pool_full_fraction, 4096)) if k2f > 0 else 0
+    # huge tier: slots for the full grid (optionally bounded by the
+    # max_tiles_per_gaussian memory knob); disabled when the full pool
+    # already covers the grid
+    k2h_span = num_tiles
+    if cfg.max_tiles_per_gaussian > 0:
+        k2h_span = min(k2h_span, cfg.max_tiles_per_gaussian)
+    k2h = k2h_span if k2h_span > k2f else 0
+    ch = min(n, max(n // cfg.pool_huge_fraction, 32)) if k2h > 0 else 0
+    c1 = (
+        min(n - ch, max(n // cfg.pool_full_fraction, 4096))
+        if k2f > 0
+        else 0
+    )
+    c1 = max(c1, 0)
     c2 = (
-        min(n - c1, max(n // cfg.pool_mid_fraction, 4096))
+        min(n - ch - c1, max(n // cfg.pool_mid_fraction, 4096))
         if 0 < k2m < k2f
         else 0
     )
+    c2 = max(c2, 0)
 
+    need_huge = (count > k1 + k2f) if ch > 0 else jnp.zeros_like(count > 0)
     need_full = count > k1 + k2m if c2 > 0 else count > k1
     need_any = count > k1
-    # stable 3-way partition: full-pool candidates, then mid, then small —
-    # one argsort; ranks are pool positions.  Pool entries left over after
-    # the hungrier class are filled by the next class (a mid splat in the
-    # full pool simply leaves its extra slots as sentinels).
-    cat = jnp.where(need_full, 0, jnp.where(need_any, 1, 2)).astype(
-        jnp.int32
-    )
+    # stable 4-way partition: huge, then full, then mid, then small — one
+    # argsort; ranks are pool positions.  Pool entries left over after a
+    # hungrier class are filled by the next class (a small splat holding a
+    # pool entry simply leaves its extra slots as sentinels).
+    cat = jnp.where(
+        need_huge, 0, jnp.where(need_full, 1, jnp.where(need_any, 2, 3))
+    ).astype(jnp.int32)
     sel = jnp.argsort(cat, stable=True)
     pos = _invert_permutation(sel)  # splat -> rank in cat-major order
-    in_p1 = pos < c1
-    in_p2 = (pos >= c1) & (pos < c1 + c2)
-    # full-pool splats that land in the mid pool are clamped to k1+k2m
-    # tiles; splats that miss both pools clamp to k1.  Both count as
-    # overflow (quality diagnostics), neither breaks the render.
-    demoted = need_full & in_p2
-    spilled = need_any & ~(in_p1 | in_p2)
-    count = jnp.where(spilled, k1, count)
+    in_ph = pos < ch
+    in_p1 = (pos >= ch) & (pos < ch + c1)
+    in_p2 = (pos >= ch + c1) & (pos < ch + c1 + c2)
+    total_pool = ch + c1 + c2
+    # pool-exhaustion demotions truncate a splat's tile list to its tier's
+    # capacity (trailing row-major tiles drop).  All count as overflow
+    # (quality diagnostics), none break the render; with default pool
+    # sizes nothing demotes on real scenes.
+    demoted_huge = need_huge & in_p1
+    demoted = (need_full | need_huge) & in_p2
+    spilled = need_any & ~(in_ph | in_p1 | in_p2)
+    count = jnp.where(spilled, jnp.minimum(count, k1), count)
     if c2 > 0:
         count = jnp.where(demoted, jnp.minimum(count, k1 + k2m), count)
-    ids1 = sel[:c1]  # (c1,) splat ids of full-pool entries
-    ids2 = sel[c1 : c1 + c2]  # (c2,) splat ids of mid-pool entries
-    big_pos = jnp.where(need_any & (in_p1 | in_p2), pos, c1 + c2)
+    if c1 > 0:
+        count = jnp.where(
+            demoted_huge, jnp.minimum(count, k1 + k2f), count
+        )
+    idsh = sel[:ch]  # (ch,) splat ids of huge-pool entries
+    ids1 = sel[ch : ch + c1]  # (c1,) full-pool entries
+    ids2 = sel[ch + c1 : ch + c1 + c2]  # (c2,) mid-pool entries
+    big_pos = jnp.where(need_any & (in_ph | in_p1 | in_p2), pos, total_pool)
 
     # fused (tile, depth) sort key: tile id in the high bits, the top
     # ``depth_bits`` of the positive-f32 bit pattern (monotonic in depth —
@@ -433,9 +500,8 @@ def bin_splats(
             # splat center (ty_i is band-local; row_offset restores the
             # global pixel row)
             xlo = tx_i.astype(jnp.float32) * ts + 0.5 - g(ccx)[None, :]
-            ylo = (ty_i + row_offset).astype(jnp.float32) * ts + 0.5 - g(
-                ccy
-            )[None, :]
+            gy = row_offset + ty_i * row_stride  # global tile row
+            ylo = gy.astype(jnp.float32) * ts + 0.5 - g(ccy)[None, :]
             xhi = xlo + (ts - 1.0)
             yhi = ylo + (ts - 1.0)
             va, vb, vc = g(ca)[None, :], g(cb)[None, :], g(cc)[None, :]
@@ -465,7 +531,10 @@ def bin_splats(
     all_ids = jnp.arange(n, dtype=jnp.int32)
     keys_parts = [level_keys(None, 0, k1)]
     row_parts = [jnp.broadcast_to(all_ids[None, :], (k1, n)).reshape(-1)]
-    for ids, kx, clen in ((ids1, k2f, c1), (ids2, k2m, c2)):
+    # pool order MUST match the cat-major rank order (huge, full, mid):
+    # the VJP fold routes pool gradients back by rank through big_pos
+    pools = ((idsh, k2h, ch), (ids1, k2f, c1), (ids2, k2m, c2))
+    for ids, kx, clen in pools:
         if clen == 0:
             continue
         keys_parts.append(level_keys(ids, k1, k1 + kx))
@@ -480,18 +549,20 @@ def bin_splats(
     )
     cap = keys.shape[0]
 
-    # ---- 3. ONE stable single-key sort over the fused keys replaces the
+    # ---- 3. ONE stable sort over (fused key, splat id) replaces the
     # reference's 64-bit tileID<<32|depth radix sort AND its separate
     # global depth argsort (renderer_ogl.py:41-53): front-to-back order
-    # per tile falls out directly, ties (same tile, same depth quantum)
-    # broken deterministically by flat slot index (stability).  The splat
-    # id rides along as a payload so the sorted-slot -> splat map needs no
-    # second 7M-row gather; the flat slot index payload feeds the
+    # per tile falls out directly.  The splat id is the SECONDARY key, not
+    # just a payload: equal (tile, depth-quantum) entries must blend in
+    # splat-id order to match the reference's stable radix over per-splat
+    # duplication order (and the oracle's stable argsort) — with id as a
+    # mere payload, ties ordered by flat slot index, which interleaves
+    # binning LEVELS, not ids.  The flat slot index payload feeds the
     # inverse-permutation VJP (dead weight in inference graphs, where the
     # custom_vjp primal ignores it).
     key_sorted, rows_sorted, perm = jax.lax.sort(
         (keys, slot_row, jnp.arange(cap, dtype=jnp.int32)),
-        num_keys=1,
+        num_keys=2,
         is_stable=True,
     )
 
@@ -517,13 +588,19 @@ def bin_splats(
     inv_perm = _invert_permutation(perm)
     rows_trunc = rows_sorted[:cap_mat]
     table = _gather_table_rows(
-        (k1, k2f, k2m, c1, c2), table_src, rows_trunc, inv_perm, big_pos
+        (k1, ((k2h, ch), (k2f, c1), (k2m, c2))),
+        table_src,
+        rows_trunc,
+        inv_perm,
+        big_pos,
     )
     table = jnp.concatenate(
         [table, jnp.zeros((SEGMENT_ALIGN, TABLE_WIDTH), jnp.float32)], axis=0
     )
 
-    overflow_total = jnp.sum(overflowed) + jnp.sum(spilled) + jnp.sum(demoted)
+    # one count per affected splat (a splat can both hit the static bbox
+    # clamp and miss a pool; counting it twice made the signal noisy)
+    overflow_total = jnp.sum(overflowed | spilled | demoted | demoted_huge)
     return BinnedSplats(
         table=table,
         tile_starts=starts,

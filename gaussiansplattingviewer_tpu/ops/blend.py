@@ -45,16 +45,17 @@ from gaussiansplattingviewer_tpu.ops import binning
 CHUNK = 16  # XLA executor chunk (Pallas uses SEGMENT_ALIGN=128)
 
 
-def _tile_pixel_grid(cfg: RenderConfig, local_rows: int, row_offset):
+def _tile_pixel_grid(cfg: RenderConfig, local_rows: int, row_offset,
+                     row_stride: int = 1):
     """(T_local, P) pixel-center coordinates for each tile block of the
-    row window [row_offset, row_offset + local_rows)."""
+    shard's row set {row_offset + s * row_stride : s < local_rows}."""
     ts = cfg.tile_size
     num_tiles = local_rows * cfg.tiles_x
     tile_ids = jnp.arange(num_tiles, dtype=jnp.int32)
     tile_x = (tile_ids % cfg.tiles_x).astype(jnp.float32)
-    tile_y = (tile_ids // cfg.tiles_x).astype(jnp.float32) + jnp.asarray(
-        row_offset, jnp.float32
-    )
+    tile_y = (tile_ids // cfg.tiles_x).astype(jnp.float32) * float(
+        row_stride
+    ) + jnp.asarray(row_offset, jnp.float32)
     local = jnp.arange(ts * ts, dtype=jnp.float32)
     lx = local % ts + 0.5
     ly = local // ts + 0.5
@@ -245,45 +246,50 @@ def _blend_tile_bwd(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
 def blend_tiles(
-    cfg: RenderConfig, use_pallas: bool, local_rows: int,
+    cfg: RenderConfig, use_pallas: bool, local_rows: int, row_stride: int,
     table, starts, counts, row_offset,
 ):
     """Blend all tiles: (Dpad,16) table -> (T, P, 3) rgb + (T, P) trans.
 
-    local_rows (static) and row_offset (traced scalar) select the tile-row
-    window this shard renders; single-chip callers pass (cfg.tiles_y, 0).
+    local_rows / row_stride (static) and row_offset (traced scalar) select
+    the tile-row set {row_offset + s * row_stride} this shard renders;
+    single-chip callers pass (cfg.tiles_y, 1, 0).
     """
     return _blend_fwd_impl(
-        cfg, use_pallas, local_rows, table, starts, counts, row_offset
+        cfg, use_pallas, local_rows, row_stride, table, starts, counts,
+        row_offset,
     )
 
 
-def _blend_fwd_impl(cfg, use_pallas, local_rows, table, starts, counts, row_offset):
+def _blend_fwd_impl(cfg, use_pallas, local_rows, row_stride, table, starts,
+                    counts, row_offset):
     if use_pallas:
         from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
             rasterize_binned_pallas,
         )
 
         return rasterize_binned_pallas(
-            table, starts, counts, row_offset, cfg, local_rows
+            table, starts, counts, row_offset, cfg, local_rows, row_stride
         )
-    px, py = _tile_pixel_grid(cfg, local_rows, row_offset)
+    px, py = _tile_pixel_grid(cfg, local_rows, row_offset, row_stride)
     rgb, trans = jax.vmap(
         lambda s, c, x, y: _blend_tile_fwd(table, s, c, x, y, cfg)
     )(starts[:-1], counts, px, py)
     return rgb, trans
 
 
-def _blend_vjp_fwd(cfg, use_pallas, local_rows, table, starts, counts, row_offset):
+def _blend_vjp_fwd(cfg, use_pallas, local_rows, row_stride, table, starts,
+                   counts, row_offset):
     rgb, trans = _blend_fwd_impl(
-        cfg, use_pallas, local_rows, table, starts, counts, row_offset
+        cfg, use_pallas, local_rows, row_stride, table, starts, counts,
+        row_offset,
     )
     return (rgb, trans), (table, starts, counts, row_offset, rgb, trans)
 
 
-def _blend_vjp_bwd(cfg, use_pallas, local_rows, res, cotangents):
+def _blend_vjp_bwd(cfg, use_pallas, local_rows, row_stride, res, cotangents):
     table, starts, counts, row_offset, rgb, trans = res
     g_rgb, g_trans = cotangents
     if use_pallas:
@@ -293,10 +299,10 @@ def _blend_vjp_bwd(cfg, use_pallas, local_rows, res, cotangents):
 
         g_table = blend_bwd_pallas(
             table, starts, counts, row_offset, g_rgb, g_trans, rgb, trans,
-            cfg, local_rows,
+            cfg, local_rows, row_stride,
         )
     else:
-        px, py = _tile_pixel_grid(cfg, local_rows, row_offset)
+        px, py = _tile_pixel_grid(cfg, local_rows, row_offset, row_stride)
         # vmap over tiles, summing per-tile full-table grads would be O(T*D);
         # instead run a sequential scan over tiles accumulating into one
         # buffer (tiles own disjoint rows, so this is a pure scatter).

@@ -70,6 +70,7 @@ def _bwd_kernel(
     prev_sem,  # DMA ()
     *,
     cfg: RenderConfig,
+    row_stride: int = 1,
 ):
     del gtable_init_ref
     t = pl.program_id(0)
@@ -84,7 +85,9 @@ def _bwd_kernel(
 
     ts = cfg.tile_size
     tx = (t % cfg.tiles_x).astype(jnp.float32)
-    ty = (t // cfg.tiles_x + rowoff_ref[0]).astype(jnp.float32)
+    ty = ((t // cfg.tiles_x) * row_stride + rowoff_ref[0]).astype(
+        jnp.float32
+    )
     # TILE-LOCAL pixel coordinates: the gradient reductions below are
     # computed from moment sums against a per-tile-constant polynomial
     # basis, and local coords keep the moment magnitudes small enough that
@@ -350,10 +353,12 @@ def _bwd_kernel(
             put_dma(ci - 1 - k).wait()
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
 def blend_bwd_pallas(
     table, starts, counts, row_offset, g_rgb, g_trans, out_rgb, out_trans,
-    cfg: RenderConfig, local_rows: int | None = None,
+    cfg: RenderConfig, local_rows: int | None = None, row_stride: int = 1,
 ):
     """table (Dpad, 16) row-major; returns g_table (Dpad, 16)."""
     p = cfg.tile_size * cfg.tile_size
@@ -394,7 +399,7 @@ def blend_bwd_pallas(
     )
 
     g_table_soa = pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg=cfg),
+        functools.partial(_bwd_kernel, cfg=cfg, row_stride=row_stride),
         out_shape=jax.ShapeDtypeStruct((TABLE_WIDTH, dpad), jnp.float32),
         grid_spec=grid_spec,
         input_output_aliases={6: 0},  # zeros input -> output buffer

@@ -133,6 +133,7 @@ def _fwd_kernel(
     sems,  # DMA semaphores (N_BUF,)
     *,
     cfg: RenderConfig,
+    row_stride: int = 1,
 ):
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -147,7 +148,9 @@ def _fwd_kernel(
     # pixel-center coordinates of this tile's block, pixels on sublanes
     ts = cfg.tile_size
     tx = (t % cfg.tiles_x).astype(jnp.float32)
-    ty = (t // cfg.tiles_x + rowoff_ref[0]).astype(jnp.float32)
+    ty = ((t // cfg.tiles_x) * row_stride + rowoff_ref[0]).astype(
+        jnp.float32
+    )
     local = jax.lax.broadcasted_iota(jnp.int32, (p, 1), 0)
     px = tx * ts + jax.lax.rem(local, ts).astype(jnp.float32) + 0.5
     py = ty * ts + jax.lax.div(local, ts).astype(jnp.float32) + 0.5
@@ -219,12 +222,14 @@ def _fwd_kernel(
     out_ref[0, :, 3:4] = trans
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "local_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
 def rasterize_binned_pallas(
     table, starts, counts, row_offset, cfg: RenderConfig,
-    local_rows: int | None = None,
+    local_rows: int | None = None, row_stride: int = 1,
 ):
-    """Run the Pallas blend over the tile-row window.
+    """Run the Pallas blend over the shard's tile-row set.
 
     table: (Dpad, 16) row-major (transposed internally for streaming).
     Returns (rgb_tiles (T, P, 3), trans_tiles (T, P)).
@@ -253,7 +258,7 @@ def rasterize_binned_pallas(
     )
 
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg),
+        functools.partial(_fwd_kernel, cfg=cfg, row_stride=row_stride),
         out_shape=jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=(jax.default_backend() == "cpu"),

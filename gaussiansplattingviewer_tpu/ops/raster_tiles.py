@@ -49,6 +49,7 @@ def rasterize_tiles(
         cfg,
         use_pallas,
         cfg.tiles_y,
+        1,
         binned.table,
         binned.tile_starts,
         binned.tile_counts,

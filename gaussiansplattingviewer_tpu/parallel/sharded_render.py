@@ -17,6 +17,7 @@ render background and are cropped off.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -28,6 +29,7 @@ from gaussiansplattingviewer_tpu.config import RenderConfig
 from gaussiansplattingviewer_tpu.models.gaussians import GaussianData
 from gaussiansplattingviewer_tpu.ops import binning
 from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
+from gaussiansplattingviewer_tpu.ops.compaction import compact_by_mask
 from gaussiansplattingviewer_tpu.ops.projection import project
 from gaussiansplattingviewer_tpu.parallel.mesh import TILE_AXIS
 
@@ -36,9 +38,18 @@ def _rows_per_shard(cfg: RenderConfig, n_shards: int) -> int:
     return -(-cfg.tiles_y // n_shards)
 
 
+def _round_budget(b: int, n: int) -> int:
+    return min(n, max(-(-b // 1024) * 1024, 4096))
+
+
 def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
-                 use_pallas: bool, shard_splats: bool = False):
-    """Per-device body: render this device's band of tile rows.
+                 use_pallas: bool, shard_splats: bool = False,
+                 row_stride: int = 1, band_budget_factor: float | None = 2.5,
+                 gather_budget_factor: float | None = None):
+    """Per-device body: render this device's set of tile rows — the
+    contiguous band {idx*rows + s} (row_stride == 1) or the INTERLEAVED
+    set {idx + s * n_shards} (row_stride == n_shards), which de-skews load
+    when scene density is top/bottom-heavy.
 
     shard_splats=True: ``scene`` arrives sharded over splats; each chip
     projects+culls its N/ndev shard and the compact screen-space splats
@@ -47,22 +58,61 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     §2.4 growth path).  Under grad, the all-gather transposes to a
     reduce-scatter, so parameter gradients come back splat-sharded too.
 
-    Returns the band image (rows*tile_size, padded_width, 3).
+    Returns the device's image rows (rows*tile_size, padded_width, 3), in
+    local order (de-interleaving is the caller's job when row_stride > 1).
     """
     idx = jax.lax.axis_index(TILE_AXIS)
-    row0 = (idx * rows).astype(jnp.int32)
+    row0 = (idx * (rows if row_stride == 1 else 1)).astype(jnp.int32)
 
     splats = project(scene, view, proj, cam_pos, cfg)
     if shard_splats:
+        if gather_budget_factor is not None:
+            # frustum-survivor compaction BEFORE the collective: the
+            # all-gather moves ~survivor bytes instead of raw-N bytes
+            # (BASELINE north star "frustum-culled splat lists sharded
+            # across chips").  Survivors beyond the budget drop (rare;
+            # size the factor for the workload's visible fraction).
+            n_loc = splats.valid.shape[0]
+            budget = _round_budget(
+                int(n_loc * gather_budget_factor), n_loc
+            )
+            splats, kept, _ = compact_by_mask(splats, splats.valid, budget)
+            splats = dataclasses.replace(
+                splats, valid=splats.valid & kept
+            )
         splats = jax.tree.map(
             lambda a: jax.lax.all_gather(a, TILE_AXIS, axis=0, tiled=True),
             splats,
         )
-    binned = binning.bin_splats(splats, cfg, row_offset=row0, local_rows=rows)
+    if band_budget_factor is not None and rows < cfg.tiles_y:
+        # band compaction: keep only splats whose footprint intersects
+        # THIS chip's tile rows, so binning's per-splat slot allocation
+        # (the O(N) term every chip used to pay in full) scales with the
+        # shard's share of the image.  The budget is this shard's
+        # proportional share times the safety factor; overfull bands drop
+        # trailing splats (use interleaved assignment to keep per-shard
+        # density near-uniform).
+        n_all = splats.valid.shape[0]
+        ty_hi = (
+            row0 + rows
+            if row_stride == 1
+            else row0 + (rows - 1) * row_stride + 1
+        )
+        _, _, _, _, cnt, _ = binning.tile_bbox(
+            splats, cfg, ty_lo=row0, ty_hi=ty_hi, row_stride=row_stride
+        )
+        frac = min(1.0, rows / cfg.tiles_y * band_budget_factor)
+        budget = _round_budget(int(n_all * frac), n_all)
+        splats, kept, _ = compact_by_mask(splats, cnt > 0, budget)
+        splats = dataclasses.replace(splats, valid=splats.valid & kept)
+    binned = binning.bin_splats(
+        splats, cfg, row_offset=row0, local_rows=rows, row_stride=row_stride
+    )
     rgb_tiles, trans_tiles = blend_tiles(
         cfg,
         use_pallas,
         rows,
+        row_stride,
         binned.table,
         binned.tile_starts,
         binned.tile_counts,
@@ -79,25 +129,33 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
 
 
 def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = None,
-                           shard_splats: bool = False):
+                           shard_splats: bool = False,
+                           interleaved: bool = False,
+                           band_budget_factor: float | None = 2.5,
+                           gather_budget_factor: float | None = None):
     """Build a jit'd sharded render: (scene, view, proj, cam_pos) -> (H, W, 3).
 
-    Camera inputs are replicated; the image is computed with its tile-row
-    bands sharded over the mesh.  The scene is replicated by default; with
-    shard_splats=True it must arrive sharded over splats (see
-    shard_scene_splats) and projection/culling are split across chips with
-    an ICI all-gather of the compact screen-space splats.
-    Differentiable: reverse-mode inserts the psum (replicated) or
+    Camera inputs are replicated; the image is computed with its tile rows
+    sharded over the mesh — contiguous bands by default, or round-robin
+    rows with interleaved=True (better load balance on scenes whose splat
+    density varies by image row: sky rows vs ground rows).  The scene is
+    replicated by default; with shard_splats=True it must arrive sharded
+    over splats (see shard_scene_splats) and projection/culling are split
+    across chips with an ICI all-gather of the compact screen-space
+    splats.  Differentiable: reverse-mode inserts the psum (replicated) or
     reduce-scatter (splat-sharded) gradient collective.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
     n_shards = mesh.shape[TILE_AXIS]
     rows = _rows_per_shard(cfg, n_shards)
+    stride = n_shards if interleaved else 1
 
     body = functools.partial(
         _render_band, cfg=cfg, rows=rows, use_pallas=use_pallas,
-        shard_splats=shard_splats,
+        shard_splats=shard_splats, row_stride=stride,
+        band_budget_factor=band_budget_factor,
+        gather_budget_factor=gather_budget_factor,
     )
 
     scene_spec = P(TILE_AXIS) if shard_splats else P()
@@ -105,13 +163,23 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
         body,
         mesh=mesh,
         in_specs=(scene_spec, P(), P(), P()),
-        out_specs=P(TILE_AXIS, None, None),  # row-banded image
+        out_specs=P(TILE_AXIS, None, None),  # device-major image rows
         check_vma=False,
     )
+
+    ts = cfg.tile_size
 
     @jax.jit
     def render_fn(scene, view, proj, cam_pos):
         img = sharded(scene, view, proj, cam_pos)
+        if interleaved:
+            # device-major (n, rows, ts, W, C) -> global row-major: global
+            # tile row of (device d, local row s) is d + s * n_shards
+            w = img.shape[1]
+            img = img.reshape(n_shards, rows, ts, w, 3)
+            img = img.transpose(1, 0, 2, 3, 4).reshape(
+                n_shards * rows * ts, w, 3
+            )
         return img[: cfg.height, : cfg.width]
 
     return render_fn
@@ -145,7 +213,10 @@ def shard_scene_splats(scene, mesh):
 
 def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
                             use_pallas: bool | None = None,
-                            shard_splats: bool = False):
+                            shard_splats: bool = False,
+                            interleaved: bool = False,
+                            band_budget_factor: float | None = 2.5,
+                            gather_budget_factor: float | None = None):
     """Full multi-chip training step: L2 loss against a target image,
     gradient all-reduce over the mesh, optax update.
 
@@ -158,7 +229,9 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
     if optimizer is None:
         optimizer = optax.adam(1e-3)
     render_fn_inner = make_sharded_render_fn(
-        mesh, cfg, use_pallas, shard_splats=shard_splats
+        mesh, cfg, use_pallas, shard_splats=shard_splats,
+        interleaved=interleaved, band_budget_factor=band_budget_factor,
+        gather_budget_factor=gather_budget_factor,
     )
 
     def loss_fn(scene, view, proj, cam_pos, target):

@@ -49,6 +49,48 @@ def test_sharded_matches_single_chip(n_dev):
     np.testing.assert_allclose(img_sh, img_ref, atol=1e-5)
 
 
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_interleaved_sharding_matches_single_chip(n_dev):
+    """Round-robin tile-row assignment (load-balance mode) must produce the
+    exact same image as the contiguous-band default and as a single chip."""
+    cfg = RenderConfig(width=160, height=96)
+    scene = random_scene(800, sh_degree=1, seed=4, extent=2.0, mean_scale=0.06)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    img_ref = np.asarray(render(scene_d, view, proj, cam_pos, cfg, backend="tile"))
+
+    mesh = make_mesh(n_dev)
+    scene_r = replicate_scene(scene_d, mesh)
+    fn = make_sharded_render_fn(mesh, cfg, use_pallas=False, interleaved=True)
+    img_sh = np.asarray(fn(scene_r, view, proj, cam_pos))
+    assert img_sh.shape == img_ref.shape
+    np.testing.assert_allclose(img_sh, img_ref, atol=1e-5)
+
+
+def test_interleaved_grads_match_single_chip():
+    cfg = RenderConfig(width=96, height=96)
+    scene = random_scene(300, sh_degree=0, seed=6, extent=2.0, mean_scale=0.06)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+
+    mesh = make_mesh(4)
+    fn = make_sharded_render_fn(mesh, cfg, use_pallas=False, interleaved=True)
+
+    def loss_sh(sc):
+        return jnp.sum(fn(sc, view, proj, cam_pos) ** 2)
+
+    def loss_ref(sc):
+        return jnp.sum(
+            render(sc, view, proj, cam_pos, cfg, backend="tile") ** 2
+        )
+
+    g_sh = jax.grad(loss_sh)(replicate_scene(scene_d, mesh))
+    g_ref = jax.grad(loss_ref)(scene_d)
+    for f in ("xyz", "scale", "rot", "opacity", "sh"):
+        a = np.asarray(getattr(g_ref, f))
+        b = np.asarray(getattr(g_sh, f))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=f)
+
+
 def test_sharded_grads_match_single_chip():
     cfg = RenderConfig(width=96, height=96)
     scene = random_scene(300, sh_degree=0, seed=6, extent=2.0, mean_scale=0.06)

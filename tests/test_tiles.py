@@ -146,13 +146,18 @@ def test_tight_culling_output_exact():
 
 
 def test_pool_demotion_and_spill_graceful():
-    """Force the full pool over capacity: demoted/spilled splats must clamp
-    (overflow counted) while the render still matches the oracle wherever
-    no clamping occurred — here we just require a finite, nonempty render
-    and consistent binning invariants."""
-    # many large splats so count > k1 + k2m for a large fraction
+    """Force the pools over capacity so demotion, spill, AND the mid pool
+    actually run (n must exceed the 4096 pool floor for any partition to
+    bind — with small n every splat fits, which is what an earlier version
+    of this test silently tested).  Demoted/spilled splats must clamp
+    (overflow counted) while binning invariants hold and the render stays
+    finite; the c2>0 gradient fold must also execute."""
+    import jax
+
+    # n > 4096 so pool capacities (max(n//frac, 4096)) can be exceeded;
+    # big splats so most need more than k1 tiles
     cfg = RenderConfig(width=160, height=96)
-    scene = random_scene(256, sh_degree=0, seed=7, extent=1.0, mean_scale=0.6)
+    scene = random_scene(12000, sh_degree=0, seed=7, extent=1.0, mean_scale=0.6)
     scene, view, proj, cam_pos = _setup(cfg, scene)
     sp = project(scene, jnp.asarray(view, jnp.float32),
                  jnp.asarray(proj, jnp.float32), jnp.asarray(cam_pos), cfg)
@@ -161,7 +166,66 @@ def test_pool_demotion_and_spill_graceful():
     counts = np.asarray(b.tile_counts)
     np.testing.assert_array_equal(counts, np.diff(starts))
     assert int(b.num_duplicates) == counts.sum()
-    # with 0.6-scale splats on a 160x96 image the 4x4-tile cap must trip
+
+    # recompute the partition the way bin_splats does and assert the
+    # exhaustion paths genuinely trigger on this workload
+    n = 12000
+    num_tiles = cfg.num_tiles
+    k1, k2f = 4, 12
+    ch = max(n // cfg.pool_huge_fraction, 32)
+    c1 = max(n // cfg.pool_full_fraction, 4096)
+    c2 = min(n - ch - c1, max(n // cfg.pool_mid_fraction, 4096))
+    assert c2 > 0  # the mid pool partition is active
+    x0, y0, w, h, count, _ = binning.tile_bbox(sp, cfg)
+    count = np.asarray(count)
+    n_huge = int((count > k1 + k2f).sum())
+    n_needy = int((count > k1).sum())
+    # more hungry splats than pool entries -> demotion/spill must occur
+    assert n_huge > ch
+    assert n_needy > ch + c1 + c2
     assert int(b.overflow) > 0
+
     img = np.asarray(render(scene, view, proj, cam_pos, cfg, backend="tile"))
     assert np.isfinite(img).all() and img.max() > 0
+
+    # the c2>0 / ch>0 backward fold must execute and stay finite
+    def loss(sc):
+        return jnp.sum(
+            render(sc, jnp.asarray(view, jnp.float32),
+                   jnp.asarray(proj, jnp.float32),
+                   jnp.asarray(cam_pos), cfg, backend="tile") ** 2
+        )
+
+    grads = jax.grad(loss)(scene)
+    for leaf in jax.tree.leaves(grads):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_unbounded_tile_coverage_close_up():
+    """A close-up splat spanning far more than the old 16-tile cap must
+    cover every tile it overlaps (reference quad semantics,
+    gau_vert.glsl:174-178): tile backend matches the (uncapped) oracle
+    exactly and the overflow diagnostic stays zero."""
+    # table_budget_factor scales the materialized table in units of N; a
+    # 4-splat scene where one splat covers ~240 tiles needs a much larger
+    # per-splat budget than the default 8
+    cfg = RenderConfig(width=320, height=192, table_budget_factor=128)
+    scene, _, _ = naive_gaussian()
+    # blow up the central splat so its footprint spans most of the screen
+    scene.scale = np.asarray(scene.scale).copy()
+    scene.scale[0] = 1.2
+    scene.opacity = np.asarray(scene.opacity).copy()
+    scene.opacity[0] = 0.95
+    scene, view, proj, cam_pos = _setup(cfg, scene)
+
+    sp = project(scene, jnp.asarray(view, jnp.float32),
+                 jnp.asarray(proj, jnp.float32), jnp.asarray(cam_pos), cfg)
+    _, _, w, h, count, _ = binning.tile_bbox(sp, cfg)
+    assert int(np.asarray(count).max()) > 16  # genuinely beyond the old cap
+    b = binning.bin_splats(sp, cfg)
+    assert int(b.overflow) == 0
+    assert int(b.truncated) == 0
+
+    img_o = np.asarray(render(scene, view, proj, cam_pos, cfg, backend="oracle"))
+    img_t = np.asarray(render(scene, view, proj, cam_pos, cfg, backend="tile"))
+    np.testing.assert_allclose(img_t, img_o, atol=2e-5)
