@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--force", action="store_true",
                     help="re-render even if the triplet exists")
     ap.add_argument("--max-poses", type=int, default=None)
+    ap.add_argument("--use-intrinsics", action="store_true",
+                    help="build the projection from cameras.txt fx/fy/cx/cy "
+                    "(rescaled to the render resolution) instead of the "
+                    "default lens; the reference parses these and discards "
+                    "them (main.py:628-632)")
     return ap
 
 
@@ -97,7 +102,7 @@ def generate(args) -> int:
     )
     cfg_disp = cfg_rgb.with_(mode=RenderMode.DEPTH)
     cam = Camera(h=args.height, w=args.width)
-    proj = cam.get_project_matrix()
+    default_proj = cam.get_project_matrix()
 
     done = 0
     t0 = time.time()
@@ -105,6 +110,13 @@ def generate(args) -> int:
         lp, rp, dp = triplet_paths(scene_dir, idx)
         if not args.force and all(os.path.exists(p) for p in (lp, rp, dp)):
             continue
+        proj = default_proj
+        if args.use_intrinsics:
+            ccam = colmap.camera_for_pose(cams, pose)
+            if ccam is not None:
+                proj = colmap.camera_projection(
+                    ccam, args.width, args.height
+                )
         view_l, view_r, cam_l, cam_r = colmap.pose_to_stereo_views(
             pose, baseline=args.baseline
         )
@@ -130,6 +142,7 @@ def generate(args) -> int:
         "width": args.width,
         "height": args.height,
         "mode": args.mode,
+        "use_intrinsics": bool(args.use_intrinsics),
         "backend": backend,
         "n_gaussians": int(len(scene)),
     }

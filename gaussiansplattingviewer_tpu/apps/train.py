@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--ckpt-every", type=int, default=100)
     ap.add_argument("--out", default="trained_scene.npz")
     ap.add_argument("--log-every", type=int, default=20)
+    ap.add_argument("--use-intrinsics", action="store_true",
+                    help="projection from cameras.txt fx/fy/cx/cy (rescaled "
+                    "to the render resolution) instead of the default lens")
     return ap
 
 
@@ -63,7 +66,11 @@ def _poses_and_targets(args, scene, bbox, center, cfg, render_fn):
     proj = jnp.asarray(cam.get_project_matrix())
     triples = []
     if args.colmap_poses:
-        poses, _ = colmap.load_sparse_dir(args.colmap_poses)
+        poses, ccams = colmap.load_sparse_dir(args.colmap_poses)
+        if getattr(args, "use_intrinsics", False) and ccams:
+            proj = jnp.asarray(
+                colmap.camera_projection(ccams[0], cfg.width, cfg.height)
+            )
         for i, p in enumerate(poses):
             vl, _, cl, _ = colmap.pose_to_stereo_views(p)
             target = None

@@ -1,4 +1,8 @@
 from gaussiansplattingviewer_tpu.eval.metrics import psnr, ssim, mse
+from gaussiansplattingviewer_tpu.eval.lpips_metric import (
+    lpips_available,
+    lpips_distance,
+)
 from gaussiansplattingviewer_tpu.eval.blur import blur_effect
 from gaussiansplattingviewer_tpu.eval.outliers import remove_statistical_outliers
 from gaussiansplattingviewer_tpu.eval.reproject import (

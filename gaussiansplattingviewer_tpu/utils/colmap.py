@@ -102,6 +102,41 @@ def load_sparse_dir(sparse_dir: str | os.PathLike):
     return poses, cams
 
 
+def camera_projection(
+    cam: ColmapCamera,
+    render_width: int | None = None,
+    render_height: int | None = None,
+    znear: float = 0.1,
+    zfar: float = 100.0,
+) -> np.ndarray:
+    """Projection matrix from a COLMAP camera's calibrated intrinsics.
+
+    The reference parses fx/fy/cx/cy (main.py:628-632) and then renders
+    with its hard-coded default lens anyway; this uses them.  When the
+    render resolution differs from the calibration resolution, the
+    intrinsics are rescaled per-axis (fx,cx by W_r/W_c; fy,cy by H_r/H_c)
+    so the field of view and principal-point fractions are preserved.
+    """
+    rw = int(render_width) if render_width else cam.width
+    rh = int(render_height) if render_height else cam.height
+    sx = rw / float(cam.width)
+    sy = rh / float(cam.height)
+    return tf.perspective_from_intrinsics(
+        cam.fx * sx, cam.fy * sy, cam.cx * sx, cam.cy * sy,
+        rw, rh, znear, zfar,
+    )
+
+
+def camera_for_pose(
+    cams: list[ColmapCamera], pose: ColmapPose
+) -> ColmapCamera | None:
+    """The ColmapCamera a pose references (None if absent)."""
+    for c in cams:
+        if c.camera_id == pose.camera_id:
+            return c
+    return cams[0] if cams else None
+
+
 def colmap_look_at(qw, qx, qy, qz, tx, ty, tz):
     """COLMAP pose -> (camera_pos, center_point, world_up).
 

@@ -108,6 +108,34 @@ def perspective(fovy: float, aspect: float, near: float, far: float) -> np.ndarr
     return P.astype(np.float32)
 
 
+def perspective_from_intrinsics(
+    fx: float, fy: float, cx: float, cy: float,
+    width: int, height: int, near: float = 0.1, far: float = 100.0,
+) -> np.ndarray:
+    """OpenGL-convention projection from pinhole intrinsics (COLMAP
+    cameras.txt fx/fy/cx/cy — parsed by the reference at main.py:628-632
+    but then discarded in favor of the default-lens fovy; this builder
+    closes that gap so per-scene calibrations actually drive the render).
+
+    Derivation (clip = P @ p_view, w_clip = -z_view, pixel frame y-DOWN
+    with x_pix = (x_ndc+1)W/2 and y_pix = (1-y_ndc)H/2, the mapping
+    ops/projection.py:234-236 applies):
+      x_pix = fx * x/(-z) + cx  =>  P00 = 2fx/W,  P02 = 1 - 2cx/W
+      y_pix = -fy * y/(-z) + cy =>  P11 = 2fy/H,  P12 = 2cy/H - 1
+    A centered principal point (cx=W/2, cy=H/2) gives P02 = P12 = 0 and
+    reduces exactly to perspective() with tan(fovy/2) = H/(2fy)."""
+    W, H = float(width), float(height)
+    P = np.zeros((4, 4))
+    P[0, 0] = 2.0 * fx / W
+    P[0, 2] = 1.0 - 2.0 * cx / W
+    P[1, 1] = 2.0 * fy / H
+    P[1, 2] = 2.0 * cy / H - 1.0
+    P[2, 2] = -(far + near) / (far - near)
+    P[2, 3] = -(2.0 * far * near) / (far - near)
+    P[3, 2] = -1.0
+    return P.astype(np.float32)
+
+
 def translate4(tx: float, ty: float, tz: float) -> np.ndarray:
     T = np.eye(4, dtype=np.float32)
     T[0, 3], T[1, 3], T[2, 3] = tx, ty, tz

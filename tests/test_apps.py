@@ -219,5 +219,14 @@ def test_serve_endpoints():
             timeout=120,
         ).read()
         assert png[:8] == b"\x89PNG\r\n\x1a\n"
+        # free-fly mode: camera at an explicit position, orientation from
+        # yaw/pitch; page must expose the toggle
+        assert b"fly" in page
+        png_fly = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/render?fly=1&px=0&py=0&pz=2.5"
+            "&yaw=3.14159&pitch=0&mode=sh0&scale=1",
+            timeout=120,
+        ).read()
+        assert png_fly[:8] == b"\x89PNG\r\n\x1a\n"
     finally:
         server.shutdown()
