@@ -74,13 +74,21 @@ class RenderConfig:
         (7M -> 5.25M at 1M splats) — every per-duplicate cost (sort,
         gathers, backward fold) scales with it.  Splats that miss both
         pools clamp to dense_small_slots tiles and count as overflow.
-      pool_mid_fraction / pool_full_fraction / pool_huge_fraction:
+      dense_big_slots: extra slots per BIG-pool entry (default 128): the
+        geometric tier between the full pool (dup_factor tiles) and the
+        whole-grid huge pool, sized for ~100-tile footprints (large
+        foreground splats at medium distance).  Without it, scenes with
+        more such splats than huge-pool entries visibly truncate coverage
+        at tile boundaries.
+      pool_mid_fraction / pool_full_fraction / pool_big_fraction /
+      pool_huge_fraction:
         N/fraction bounds the pool entry counts (raise the denominators to
-        shrink the buffers, lower them for extreme close-up robustness).
-        The huge pool holds max(N/pool_huge_fraction, 32) entries, each
-        with a full-grid slot span — it exists so per-splat tile coverage
-        is unbounded like the reference's, while staying a small fraction
-        of total key volume (~10% at 1M splats, 1080p).
+        shrink the buffers, lower them for extreme close-up robustness);
+        floors are 4096/4096/2048/32 entries.  The huge pool's per-entry
+        slot span is the whole tile grid — it exists so per-splat tile
+        coverage is unbounded like the reference's (gau_vert.glsl:174-178)
+        — while the geometric ladder keeps total key volume tracking the
+        live duplicate count.
       table_budget_factor: materialized splat-table rows per Gaussian.
         The dense key buffer is dup_factor*N, but only ~2-4 duplicates per
         splat are typically live; the table (and every gather over it) is
@@ -123,8 +131,10 @@ class RenderConfig:
     dup_factor: int = 16
     dense_small_slots: int = 4
     dense_mid_slots: int = 4
+    dense_big_slots: int = 128
     pool_mid_fraction: int = 8
     pool_full_fraction: int = 16
+    pool_big_fraction: int = 512
     pool_huge_fraction: int = 16384
     table_budget_factor: int = 8
     stereo_baseline: float = -0.5

@@ -24,9 +24,8 @@ duplicates.  The pipeline:
      reference's per-frame global depth argsort (renderer_ogl.py:41-53)
      and the CUDA library's 64-bit tileID<<32|depth radix sort, with
      deterministic tie-breaking by flat slot index; the splat id and the
-     flat slot index ride as payloads (no second big gather, and the
-     inverse permutation the VJP needs comes from one more key-value
-     sort);
+     flat slot index ride as payloads (no second big gather; the flat-slot
+     payload doubles as the sort key of the backward's sort-carry fold);
   4. tile ranges via searchsorted and ONE budgeted row gather materializes
      the compact (D, 16) table the blend kernels stream (kernels read
      lane-aligned windows and mask segment overhang, so no padding or
@@ -226,20 +225,23 @@ def tile_bbox(
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _gather_table_rows(levels, pack, rows_trunc, inv_perm, big_pos):
+def _gather_table_rows(levels, pack, rows_trunc, perm, big_pos):
     """pack[rows_trunc] — materialize the splat-attribute row of each
     (truncated) sorted duplicate slot.
 
-    ``levels = (k1, pools)`` with ``pools = ((k2h, ch), (k2f, c1),
-    (k2m, c2))``: level-1 slots per splat, then (extra-slots-per-entry,
-    entry-count) for each pool tier in cat-major rank order (huge, full,
-    mid).
+    ``levels = (k1, pools)`` with ``pools`` a tuple of
+    (extra-slots-per-entry, entry-count) for each pool tier in cat-major
+    rank order (hungriest span first: huge, big, full, mid).
 
     The VJP folds slot gradients back onto splats without any scatter:
-    ``inv_perm`` maps every flat slot to its sorted position (truncated
-    slots clamp to a zero row), each dense level is reduced with a
-    contiguous reshape, and the pool levels route back to their splats
-    through ``big_pos`` (one small gather).
+    ONE key-value ``lax.sort`` with ``perm`` (the flat slot of each sorted
+    position) as the key and the 9 gradient columns as payloads delivers
+    the gradients in flat-slot order — measured ~30% cheaper than the
+    previous inverse-permutation row gather at 5.75M slots
+    (scripts/foldbench.py: 55.6 ms vs 79.2 incl. the inverse-permutation
+    sort the gather needed), with bit-identical results.  Each dense level
+    is then reduced with a contiguous reshape and the pool levels route
+    back to their splats through ``big_pos`` (one small gather).
 
     Flat-slot layout is SLOT-MAJOR: level-1 slot (s, splat i) lives at
     flat = s * n + i, pool slot (s, pool entry p) at
@@ -252,27 +254,32 @@ def _gather_table_rows(levels, pack, rows_trunc, inv_perm, big_pos):
     return pack[rows_trunc]
 
 
-def _gather_table_rows_fwd(levels, pack, rows_trunc, inv_perm, big_pos):
-    return pack[rows_trunc], (pack.shape[0], inv_perm, big_pos)
+def _gather_table_rows_fwd(levels, pack, rows_trunc, perm, big_pos):
+    return pack[rows_trunc], (pack.shape[0], perm, big_pos)
 
 
 def _gather_table_rows_bwd(levels, res, g):
     k1, pools = levels
-    n, inv_perm, big_pos = res
+    n, perm, big_pos = res
+    cap = perm.shape[0]
     cap_mat = g.shape[0]
     # only the first GRAD_WIDTH columns (cx..opacity, see layout above) ever
     # carry gradient — the blend kernels never differentiate radius/depth —
-    # so the big inverse gather moves 9 columns, not 16 (fewer bytes AND a
-    # smaller source, both of which the per-row gather cost tracks)
+    # so the sort carries 9 payload columns, not 16
     width = GRAD_WIDTH
-    g = g[:, :width]
-    g_ext = jnp.concatenate([g, jnp.zeros((1, width), g.dtype)], axis=0)
-    idx = jnp.minimum(inv_perm, cap_mat)  # truncated slots -> zero row
-    g_by_flat = g_ext[idx]  # (cap, W) in flat-slot order (slot-major)
+    cols = [g[:, j] for j in range(width)]
+    if cap > cap_mat:
+        # budget-truncated sorted slots were never materialized: zero grad
+        pad = jnp.zeros((cap - cap_mat,), g.dtype)
+        cols = [jnp.concatenate([c, pad]) for c in cols]
+    # perm is a permutation of arange(cap): sorting by it as the key puts
+    # payload row j at flat slot j — no scatter, no inverse permutation
+    sorted_ops = jax.lax.sort((perm, *cols), num_keys=1)
+    g_by_flat = jnp.stack(sorted_ops[1:], axis=0).T  # (cap, W) flat order
     g1 = g_by_flat[: n * k1].reshape(k1, n, width).sum(axis=0)
     total_pool = sum(c for _, c in pools)
     if total_pool > 0:
-        # pool entries are ranks in ONE cat-major order (huge, full, mid
+        # pool entries are ranks in ONE cat-major order (tiers
         # concatenated) — one concatenated gradient table, one routing
         # gather via big_pos (sentinel total_pool -> zero row)
         off = n * k1
@@ -364,75 +371,82 @@ def bin_splats(
         splats, cfg, ty_lo=row_offset, ty_hi=ty_hi, row_stride=row_stride
     )
 
-    # ---- 2. FOUR-LEVEL dense duplicate expansion (scatter-free).  Level 1
+    # ---- 2. TIERED dense duplicate expansion (scatter-free).  Level 1
     # gives every splat k1 slots (~87% of live splats cover <= 4 tiles);
-    # splats needing more join the MID pool (k2m extra slots each, covers
-    # <= k1+k2m tiles — ~97% of live splats), the FULL pool (k2f =
-    # dup_factor - k1 extras), or — beyond dup_factor tiles — the HUGE
-    # pool, whose per-entry slot span is the whole (band) tile grid, so
-    # per-splat coverage is UNBOUNDED like the reference quad's
-    # (gau_vert.glsl:174-178).  This keeps the sorted key volume near the
-    # LIVE duplicate count — the sort, both big gathers, and the backward
-    # inverse fold all scale with it — while close-up splats still cover
-    # every tile they overlap.
+    # splats needing more join a GEOMETRIC ladder of pools — MID (k2m
+    # extras, covers <= k1+k2m tiles, ~97% of live splats), FULL (k2f =
+    # dup_factor - k1 extras), BIG (dense_big_slots extras, ~100+-tile
+    # footprints of medium close-ups) and finally HUGE, whose per-entry
+    # slot span is the whole (band) tile grid, so per-splat coverage is
+    # UNBOUNDED like the reference quad's (gau_vert.glsl:174-178).  The
+    # geometric spans keep per-splat slot waste <= ~2x while the pool
+    # entry counts stay a small fraction of N — the sorted key volume (and
+    # with it the sort, both big gathers, and the backward inverse fold)
+    # tracks the LIVE duplicate count.
     k1 = min(cfg.dense_small_slots, cfg.dup_factor)
     k2f = cfg.dup_factor - k1
     k2m = min(cfg.dense_mid_slots, k2f)
-    # huge tier: slots for the full grid (optionally bounded by the
-    # max_tiles_per_gaussian memory knob); disabled when the full pool
-    # already covers the grid
-    k2h_span = num_tiles
+    span_cap = num_tiles
     if cfg.max_tiles_per_gaussian > 0:
-        k2h_span = min(k2h_span, cfg.max_tiles_per_gaussian)
-    k2h = k2h_span if k2h_span > k2f else 0
-    ch = min(n, max(n // cfg.pool_huge_fraction, 32)) if k2h > 0 else 0
-    c1 = (
-        min(n - ch, max(n // cfg.pool_full_fraction, 4096))
-        if k2f > 0
-        else 0
-    )
-    c1 = max(c1, 0)
-    c2 = (
-        min(n - ch - c1, max(n // cfg.pool_mid_fraction, 4096))
-        if 0 < k2m < k2f
-        else 0
-    )
-    c2 = max(c2, 0)
+        span_cap = min(span_cap, cfg.max_tiles_per_gaussian)
+    k2b = min(cfg.dense_big_slots, span_cap)
+    k2h = span_cap if span_cap > k2b else 0
+    # tier specs, hungriest first: (extra_slots, min_entries, fraction).
+    # A tier is active only when it covers strictly more than the next
+    # smaller one (else the smaller tier subsumes it).
+    specs = []
+    if k2h > k2b:
+        specs.append((k2h, 32, cfg.pool_huge_fraction))
+    if k2b > k2f:
+        specs.append((k2b, 2048, cfg.pool_big_fraction))
+    if k2f > 0:
+        specs.append((k2f, 4096, cfg.pool_full_fraction))
+    if 0 < k2m < k2f:
+        specs.append((k2m, 4096, cfg.pool_mid_fraction))
+    kxs, caps = [], []
+    left = n
+    for kx, mn, frac in specs:
+        c = max(min(left, max(n // frac, mn)), 0)
+        kxs.append(kx)
+        caps.append(c)
+        left -= c
+    nt_pool = len(kxs)
+    offs = [sum(caps[:t]) for t in range(nt_pool + 1)]
+    total_pool = offs[-1]
 
-    need_huge = (count > k1 + k2f) if ch > 0 else jnp.zeros_like(count > 0)
-    need_full = count > k1 + k2m if c2 > 0 else count > k1
+    # a splat NEEDS tier t when the next smaller tier can't hold it; spans
+    # decrease with t, so need[0] => need[1] => ... and the category is
+    # nt_pool - (# tiers needed): 0 = hungriest tier, nt_pool = small.
     need_any = count > k1
-    # stable 4-way partition: huge, then full, then mid, then small — one
-    # argsort; ranks are pool positions.  Pool entries left over after a
-    # hungrier class are filled by the next class (a small splat holding a
-    # pool entry simply leaves its extra slots as sentinels).
-    cat = jnp.where(
-        need_huge, 0, jnp.where(need_full, 1, jnp.where(need_any, 2, 3))
-    ).astype(jnp.int32)
+    needs = [
+        count > k1 + (kxs[t + 1] if t + 1 < nt_pool else 0)
+        for t in range(nt_pool)
+    ]
+    cat = jnp.full_like(count, nt_pool) - sum(
+        nd.astype(jnp.int32) for nd in needs
+    )
+    # stable partition: one argsort; ranks are pool positions.  Entries a
+    # hungrier class leaves unused are filled by the next class (a small
+    # splat holding a pool entry simply leaves its extras as sentinels).
     sel = jnp.argsort(cat, stable=True)
     pos = _invert_permutation(sel)  # splat -> rank in cat-major order
-    in_ph = pos < ch
-    in_p1 = (pos >= ch) & (pos < ch + c1)
-    in_p2 = (pos >= ch + c1) & (pos < ch + c1 + c2)
-    total_pool = ch + c1 + c2
-    # pool-exhaustion demotions truncate a splat's tile list to its tier's
-    # capacity (trailing row-major tiles drop).  All count as overflow
+    in_tier = [
+        (pos >= offs[t]) & (pos < offs[t + 1]) for t in range(nt_pool)
+    ]
+    # pool-exhaustion demotions truncate a splat's tile list to the tier it
+    # actually got (trailing row-major tiles drop).  All count as overflow
     # (quality diagnostics), none break the render; with default pool
     # sizes nothing demotes on real scenes.
-    demoted_huge = need_huge & in_p1
-    demoted = (need_full | need_huge) & in_p2
-    spilled = need_any & ~(in_ph | in_p1 | in_p2)
+    demoted = jnp.zeros_like(need_any)
+    for t in range(nt_pool):
+        over = in_tier[t] & (count > k1 + kxs[t])
+        demoted = demoted | over
+        count = jnp.where(in_tier[t], jnp.minimum(count, k1 + kxs[t]), count)
+    in_any = need_any & (pos < total_pool)
+    spilled = need_any & ~in_any
     count = jnp.where(spilled, jnp.minimum(count, k1), count)
-    if c2 > 0:
-        count = jnp.where(demoted, jnp.minimum(count, k1 + k2m), count)
-    if c1 > 0:
-        count = jnp.where(
-            demoted_huge, jnp.minimum(count, k1 + k2f), count
-        )
-    idsh = sel[:ch]  # (ch,) splat ids of huge-pool entries
-    ids1 = sel[ch : ch + c1]  # (c1,) full-pool entries
-    ids2 = sel[ch + c1 : ch + c1 + c2]  # (c2,) mid-pool entries
-    big_pos = jnp.where(need_any & (in_ph | in_p1 | in_p2), pos, total_pool)
+    tier_ids = [sel[offs[t] : offs[t + 1]] for t in range(nt_pool)]
+    big_pos = jnp.where(in_any, pos, total_pool)
 
     # fused (tile, depth) sort key: tile id in the high bits, the top
     # ``depth_bits`` of the positive-f32 bit pattern (monotonic in depth —
@@ -531,10 +545,9 @@ def bin_splats(
     all_ids = jnp.arange(n, dtype=jnp.int32)
     keys_parts = [level_keys(None, 0, k1)]
     row_parts = [jnp.broadcast_to(all_ids[None, :], (k1, n)).reshape(-1)]
-    # pool order MUST match the cat-major rank order (huge, full, mid):
-    # the VJP fold routes pool gradients back by rank through big_pos
-    pools = ((idsh, k2h, ch), (ids1, k2f, c1), (ids2, k2m, c2))
-    for ids, kx, clen in pools:
+    # pool order MUST match the cat-major rank order (hungriest tier
+    # first): the VJP fold routes pool gradients back by rank via big_pos
+    for ids, kx, clen in zip(tier_ids, kxs, caps):
         if clen == 0:
             continue
         keys_parts.append(level_keys(ids, k1, k1 + kx))
@@ -557,9 +570,9 @@ def bin_splats(
     # splat-id order to match the reference's stable radix over per-splat
     # duplication order (and the oracle's stable argsort) — with id as a
     # mere payload, ties ordered by flat slot index, which interleaves
-    # binning LEVELS, not ids.  The flat slot index payload feeds the
-    # inverse-permutation VJP (dead weight in inference graphs, where the
-    # custom_vjp primal ignores it).
+    # binning LEVELS, not ids.  The flat slot index payload is the sort
+    # KEY of the backward's sort-carry gradient fold (dead weight in
+    # inference graphs, where the custom_vjp primal ignores it).
     key_sorted, rows_sorted, perm = jax.lax.sort(
         (keys, slot_row, jnp.arange(cap, dtype=jnp.int32)),
         num_keys=2,
@@ -585,13 +598,12 @@ def bin_splats(
     counts = jnp.diff(starts)
 
     table_src = pack_table(splats)
-    inv_perm = _invert_permutation(perm)
     rows_trunc = rows_sorted[:cap_mat]
     table = _gather_table_rows(
-        (k1, ((k2h, ch), (k2f, c1), (k2m, c2))),
+        (k1, tuple(zip(kxs, caps))),
         table_src,
         rows_trunc,
-        inv_perm,
+        perm,
         big_pos,
     )
     table = jnp.concatenate(
@@ -600,7 +612,7 @@ def bin_splats(
 
     # one count per affected splat (a splat can both hit the static bbox
     # clamp and miss a pool; counting it twice made the signal noisy)
-    overflow_total = jnp.sum(overflowed | spilled | demoted | demoted_huge)
+    overflow_total = jnp.sum(overflowed | spilled | demoted)
     return BinnedSplats(
         table=table,
         tile_starts=starts,

@@ -45,7 +45,8 @@ def _round_budget(b: int, n: int) -> int:
 def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
                  use_pallas: bool, shard_splats: bool = False,
                  row_stride: int = 1, band_budget_factor: float | None = 2.5,
-                 gather_budget_factor: float | None = None):
+                 gather_budget_factor: float | None = None,
+                 idx=None):
     """Per-device body: render this device's set of tile rows — the
     contiguous band {idx*rows + s} (row_stride == 1) or the INTERLEAVED
     set {idx + s * n_shards} (row_stride == n_shards), which de-skews load
@@ -58,10 +59,15 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     §2.4 growth path).  Under grad, the all-gather transposes to a
     reduce-scatter, so parameter gradients come back splat-sharded too.
 
+    ``idx`` defaults to the mesh axis index (the shard_map path); the
+    scaling harness (scripts/scaling.py) passes a concrete shard index to
+    run ONE shard's exact program on a single device and time its work.
+
     Returns the device's image rows (rows*tile_size, padded_width, 3), in
     local order (de-interleaving is the caller's job when row_stride > 1).
     """
-    idx = jax.lax.axis_index(TILE_AXIS)
+    if idx is None:
+        idx = jax.lax.axis_index(TILE_AXIS)
     row0 = (idx * (rows if row_stride == 1 else 1)).astype(jnp.int32)
 
     splats = project(scene, view, proj, cam_pos, cfg)

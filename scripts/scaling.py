@@ -1,109 +1,159 @@
 """tiles/s scaling-efficiency harness (BASELINE.json: >=80% at 1/N chips).
 
 Multi-chip TPU hardware is not available in this environment (one chip via
-a tunnel), so this measures the real sharded program on the standard
-8-virtual-device CPU mesh (xla_force_host_platform_device_count) — the
-same code path (shard_map over a 1-D ``tiles`` mesh, XLA collectives) that
-runs on a pod slice, with XLA:CPU executing the per-device partitions on
-separate host threads.  Reported efficiency is therefore a lower-bound
-sanity check of the sharding's load balance and collective overhead, not a
-hardware number.
+a tunnel), and the CPU "virtual mesh" shares 2 physical cores across all 8
+virtual devices — wall-clock time over the virtual mesh measures host-core
+contention, not scaling.  What CAN be measured honestly:
+
+  * PER-SHARD DEVICE WORK: each shard's exact per-device program (the same
+    ``_render_band`` body shard_map runs, with a concrete shard index) is
+    timed SERIALLY on one device.  On a real pod every shard runs
+    concurrently on its own chip, so the projected N-chip frame time is
+    ``max_i t_i`` plus collective time (inference has NO collectives — the
+    image stays row-sharded; training adds one grads psum that XLA
+    overlaps with the backward).
+  * EFFICIENCY = T1 / (N * max_i t_i): captures both load balance across
+    shards AND the per-chip fixed costs (replicated projection, band
+    compaction) that bound strong scaling.
 
 Measures BOTH row assignments on a deliberately TOP-HEAVY scene (splat
 density concentrated in the lower image rows, like ground-vs-sky):
   * contiguous bands (default): chips owning sky rows idle;
   * interleaved rows (round-robin): load spread evenly.
 
-Writes SCALING.json and prints a table.
+Run with --platform tpu to time the real per-shard programs (Pallas blend)
+on the TPU chip.  Writes SCALING.json and prints a table.
 """
 
+import argparse
+import functools
 import json
 import os
 import time
-
-os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "")
-    + " --xla_force_host_platform_device_count=8"
-)
 
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
+    ap.add_argument("--n-splats", type=int, default=None)
+    ap.add_argument("--width", type=int, default=None)
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--iters", type=int, default=None)
+    args = ap.parse_args()
+
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from gaussiansplattingviewer_tpu.config import RenderConfig
     from gaussiansplattingviewer_tpu.models import random_scene
-    from gaussiansplattingviewer_tpu.parallel import (
-        make_mesh,
-        make_sharded_render_fn,
-        replicate_scene,
+    from gaussiansplattingviewer_tpu.parallel.sharded_render import (
+        _render_band,
+        _rows_per_shard,
     )
     from gaussiansplattingviewer_tpu.utils import transforms as tf
     from gaussiansplattingviewer_tpu.utils.camera import Camera
 
-    cfg = RenderConfig(width=512, height=256)
-    n = 20_000
-    scene = random_scene(n, sh_degree=1, seed=0, extent=2.0, mean_scale=0.03)
+    on_tpu = jax.default_backend() == "tpu"
+    if args.platform == "tpu" and not on_tpu:
+        raise SystemExit("TPU requested but not available")
+    # TPU: realistic load; CPU: small enough for the XLA executor
+    n = args.n_splats or (1_000_000 if on_tpu else 20_000)
+    w = args.width or (1920 if on_tpu else 512)
+    h = args.height or (1080 if on_tpu else 256)
+    iters = args.iters or (8 if on_tpu else 6)
+
+    cfg = RenderConfig(width=w, height=h)
+    scene = random_scene(
+        n, sh_degree=1, seed=0, extent=2.0, mean_scale=0.03
+    )
     # top-heavy: push ~85% of splats into the bottom third of the view
     # (y is down in image space; world +y maps down with the [0,-1,0] up)
     xyz = np.asarray(scene.xyz).copy()
     heavy = np.random.default_rng(1).uniform(size=n) < 0.85
     xyz[heavy, 1] = np.abs(xyz[heavy, 1]) * 0.5 + 1.0
     scene.xyz = xyz
+    scene_d = scene.pad_to_multiple(1024).to_device()
 
     cam = Camera(h=cfg.height, w=cfg.width)
     cam.fovy = 1.2
     view = jnp.asarray(tf.look_at([0, 0, 4.0], [0, 0, 0], [0, -1, 0]))
     proj = jnp.asarray(cam.get_project_matrix())
     cam_pos = jnp.asarray(np.array([0, 0, 4.0], np.float32))
-    scene_d = scene.to_device()
 
-    iters = 6
-    results = {"config": {"width": cfg.width, "height": cfg.height,
-                          "n_splats": n, "num_tiles": cfg.num_tiles,
-                          "iters": iters,
-                          "note": "8-virtual-device CPU mesh; same shard_map "
-                                  "program as TPU pod slice"},
-               "runs": []}
+    def hard_sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(np.asarray(leaf).reshape(-1)[:4])
 
-    def bench(fn, scene_r):
-        out = fn(scene_r, view, proj, cam_pos)
-        out.block_until_ready()
+    def bench(fn, *a):
+        out = fn(*a)
+        hard_sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(scene_r, view, proj, cam_pos)
-        out.block_until_ready()
+            out = fn(*a)
+        hard_sync(out)
         return (time.perf_counter() - t0) / iters
 
-    base = {}
+    use_pallas = on_tpu
+    results = {
+        "config": {
+            "width": cfg.width, "height": cfg.height, "n_splats": n,
+            "num_tiles": cfg.num_tiles, "iters": iters,
+            "platform": jax.default_backend(),
+            "method": (
+                "per-shard device programs timed serially on one device; "
+                "projected N-chip frame = max_i t_i (inference is "
+                "collective-free: the image stays row-sharded); "
+                "efficiency = T1 / (N * max_i t_i)"
+            ),
+        },
+        "runs": [],
+    }
+
+    t1 = None
     for n_dev in (1, 2, 4, 8):
-        mesh = make_mesh(n_dev)
-        scene_r = replicate_scene(scene_d, mesh)
+        rows = _rows_per_shard(cfg, n_dev)
         for interleaved in (False, True):
-            fn = make_sharded_render_fn(
-                mesh, cfg, use_pallas=False, interleaved=interleaved
-            )
-            dt = bench(fn, scene_r)
-            tiles_s = cfg.num_tiles / dt
-            key = "interleaved" if interleaved else "contiguous"
+            if n_dev == 1 and interleaved:
+                continue
+            stride = n_dev if interleaved else 1
+            t_shards = []
+            for idx in range(n_dev):
+                fn = jax.jit(
+                    functools.partial(
+                        _render_band, cfg=cfg, rows=rows,
+                        use_pallas=use_pallas, row_stride=stride, idx=idx,
+                    )
+                )
+                t_shards.append(bench(fn, scene_d, view, proj, cam_pos))
+            t_max, t_mean = max(t_shards), sum(t_shards) / len(t_shards)
             if n_dev == 1:
-                base[key] = tiles_s
-            eff = tiles_s / (base[key] * n_dev)
+                t1 = t_max
+            eff = t1 / (n_dev * t_max)
+            key = "interleaved" if interleaved else "contiguous"
+            tiles_s = cfg.num_tiles / t_max
             results["runs"].append({
                 "n_dev": n_dev, "assignment": key,
-                "ms_per_frame": round(dt * 1e3, 2),
-                "tiles_per_s": round(tiles_s, 1),
+                "shard_ms": [round(t * 1e3, 2) for t in t_shards],
+                "projected_ms_per_frame": round(t_max * 1e3, 2),
+                "balance": round(t_mean / t_max, 3),
+                "projected_tiles_per_s": round(tiles_s, 1),
                 "efficiency": round(eff, 3),
             })
-            print(f"n_dev={n_dev} {key:12s} {dt*1e3:8.2f} ms/frame  "
-                  f"{tiles_s:10.1f} tiles/s  eff={eff:.3f}", flush=True)
+            print(
+                f"n_dev={n_dev} {key:12s} max {t_max*1e3:8.2f} ms  "
+                f"balance {t_mean/t_max:.3f}  eff={eff:.3f}",
+                flush=True,
+            )
 
-    with open(os.path.join(os.path.dirname(__file__), "..", "SCALING.json"),
-              "w") as f:
+    out_path = os.path.join(
+        os.path.dirname(__file__), "..", "SCALING.json"
+    )
+    with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
     print("wrote SCALING.json")
 

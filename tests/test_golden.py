@@ -50,6 +50,68 @@ def test_golden_naive(mode):
     np.testing.assert_allclose(img, golden, atol=2e-3)
 
 
+# --- full-mode goldens at the reference resolution --------------------------
+#
+# Every render-mode switch of the reference UI (main.py:98-99 ->
+# gau_frag.glsl:15-38) pinned at the reference's own 1160x522 resolution
+# (main.py:634-635) on a 10k-splat anisotropic SH-deg-3 scene: a regression
+# in any SH band's compositing, in the ball thresholds, or in billboard
+# coverage flips the corresponding test.
+
+REF_W, REF_H = 1160, 522  # ref main.py:634-635
+_REF_SCENE = {}
+
+
+def _ref_scene():
+    if "scene" not in _REF_SCENE:
+        _REF_SCENE["scene"] = (
+            random_scene(
+                10_000, sh_degree=3, seed=5, extent=3.0, mean_scale=0.04,
+                anisotropy=0.7,
+            )
+            .pad_to_multiple(1024)
+            .to_device()
+        )
+    return _REF_SCENE["scene"]
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [
+        RenderMode.SH1,
+        RenderMode.SH2,
+        RenderMode.SH3,
+        RenderMode.DEPTH,
+        RenderMode.BILLBOARD,
+        RenderMode.FLAT_BALL,
+        RenderMode.GAUSSIAN_BALL,
+    ],
+)
+def test_golden_refres_modes(mode):
+    cfg = RenderConfig(width=REF_W, height=REF_H, mode=mode)
+    cam = Camera(h=REF_H, w=REF_W)
+    cam.fovy = 1.0
+    eye = np.array([0.5, -0.4, 6.0])
+    view = tf.look_at(eye, [0, 0, 0], [0, -1, 0])
+    img = np.asarray(
+        render(
+            _ref_scene(), view, cam.get_project_matrix(),
+            eye.astype(np.float32), cfg, backend="tile",
+        )
+    )
+    path = os.path.join(GOLDEN_DIR, f"refres10k_{int(mode)}.npz")
+    if os.environ.get("GSV_REGEN_GOLDEN") or not os.path.exists(path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        np.savez_compressed(path, img=img.astype(np.float16))
+        pytest.skip("golden (re)generated")
+    golden = np.load(path)["img"].astype(np.float32)
+    # f16 storage quantization ~1e-3 relative at these magnitudes; colors
+    # can exceed 1 so scale the tolerance by the stored maximum
+    atol = 2e-3 * max(1.0, float(np.abs(golden).max()))
+    np.testing.assert_allclose(img, golden, atol=atol, err_msg=str(mode))
+    assert img.sum() > 0.0  # scene actually renders
+
+
 def test_backend_flip_harness():
     """The quantitative version of the reference's backend flip test."""
     cfg = RenderConfig(width=96, height=64)
