@@ -30,6 +30,7 @@ from gaussiansplattingviewer_tpu.ops import binning
 from gaussiansplattingviewer_tpu.ops.binning import SEGMENT_ALIGN, TABLE_WIDTH
 from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
     _exclusive_cumprod_lanes,
+    _tri_matmul_f32,
 )
 
 CHUNK = SEGMENT_ALIGN
@@ -39,18 +40,12 @@ N_BUF = 2
 def _inclusive_cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     """Inclusive prefix sum along axis 1 as ONE triangular matmul on the
     MXU (the roll-add Hillis-Steele scan was 21 VPU ops on the full
-    block)."""
+    block); f32-accurate 3-pass split, see _tri_matmul_f32."""
     s = x.shape[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     tri_incl = (ri <= ci).astype(jnp.float32)  # [j, i] = 1 iff j <= i
-    return jax.lax.dot_general(
-        x,
-        tri_incl,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
+    return _tri_matmul_f32(x, tri_incl)
 
 
 def _bwd_kernel(

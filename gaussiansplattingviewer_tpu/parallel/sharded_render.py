@@ -46,6 +46,8 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
                  use_pallas: bool, shard_splats: bool = False,
                  row_stride: int = 1, band_budget_factor: float | None = 2.5,
                  gather_budget_factor: float | None = None,
+                 exchange: bool = False, n_shards: int = 1,
+                 exchange_budget_factor: float = 3.0,
                  idx=None):
     """Per-device body: render this device's set of tile rows — the
     contiguous band {idx*rows + s} (row_stride == 1) or the INTERLEAVED
@@ -59,6 +61,17 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     §2.4 growth path).  Under grad, the all-gather transposes to a
     reduce-scatter, so parameter gradients come back splat-sharded too.
 
+    exchange=True (requires shard_splats, contiguous bands): instead of
+    all-gathering the full projected array, each chip PARTITIONS its local
+    frustum survivors by destination tile-row band and an ``all_to_all``
+    delivers to every chip exactly the splats touching ITS band.  Both the
+    collective bytes AND the downstream binning input are then
+    ~N * factor / n_shards per chip — the strong-scaling regime the
+    replicated design can't reach (its per-chip O(N) projection/binning
+    floor caps 8-chip efficiency, SCALING.json).  Under grad the
+    all_to_all transposes to the reverse all_to_all, so parameter
+    gradients come back to the owning shard with no extra collective.
+
     ``idx`` defaults to the mesh axis index (the shard_map path); the
     scaling harness (scripts/scaling.py) passes a concrete shard index to
     run ONE shard's exact program on a single device and time its work.
@@ -68,10 +81,48 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     """
     if idx is None:
         idx = jax.lax.axis_index(TILE_AXIS)
-    row0 = (idx * (rows if row_stride == 1 else 1)).astype(jnp.int32)
+    row0 = jnp.asarray(
+        idx * (rows if row_stride == 1 else 1), jnp.int32
+    )
 
     splats = project(scene, view, proj, cam_pos, cfg)
-    if shard_splats:
+    if shard_splats and exchange:
+        assert row_stride == 1, "exchange mode uses contiguous bands"
+        n_loc = splats.valid.shape[0]
+        # destination band span from the GLOBAL tile-row bbox; rows is a
+        # static Python int so the // lowers to multiply-shift, not the
+        # bit-serial traced-divisor path (see binning._floordiv_small)
+        _, y0g, _, hh, cnt, _ = binning.tile_bbox(splats, cfg)
+        live = cnt > 0
+        d0 = jnp.clip(y0g // rows, 0, n_shards - 1)
+        d1 = jnp.clip((y0g + hh - 1) // rows, 0, n_shards - 1)
+        frac = min(1.0, rows / cfg.tiles_y * exchange_budget_factor)
+        budget = _round_budget(int(n_loc * frac), n_loc)
+        parts, keeps = [], []
+        for d in range(n_shards):
+            m = live & (d0 <= d) & (d <= d1)
+            cpart, kept_d, _ = compact_by_mask(splats, m, budget)
+            parts.append(cpart)
+            keeps.append(kept_d)
+        stacked = jax.tree.map(
+            lambda *ls: jnp.stack(ls, axis=0), *parts
+        )  # (n_shards, budget, ...)
+        kept = jnp.stack(keeps, axis=0)
+
+        def a2a(a):
+            # (n_shards, budget, ...) -> same shape with axis-0 slice s now
+            # holding what chip s sent to THIS chip; flatten to a single
+            # received buffer of n_shards * budget candidate splats
+            out = jax.lax.all_to_all(
+                a, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
+            )
+            return out.reshape((-1,) + out.shape[2:])
+
+        splats = jax.tree.map(a2a, stacked)  # (n_shards * budget, ...)
+        splats = dataclasses.replace(
+            splats, valid=splats.valid & a2a(kept)
+        )
+    elif shard_splats:
         if gather_budget_factor is not None:
             # frustum-survivor compaction BEFORE the collective: the
             # all-gather moves ~survivor bytes instead of raw-N bytes
@@ -90,7 +141,11 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
             lambda a: jax.lax.all_gather(a, TILE_AXIS, axis=0, tiled=True),
             splats,
         )
-    if band_budget_factor is not None and rows < cfg.tiles_y:
+    if (
+        band_budget_factor is not None
+        and rows < cfg.tiles_y
+        and not exchange
+    ):
         # band compaction: keep only splats whose footprint intersects
         # THIS chip's tile rows, so binning's per-splat slot allocation
         # (the O(N) term every chip used to pay in full) scales with the
@@ -138,7 +193,9 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
                            shard_splats: bool = False,
                            interleaved: bool = False,
                            band_budget_factor: float | None = 2.5,
-                           gather_budget_factor: float | None = None):
+                           gather_budget_factor: float | None = None,
+                           exchange: bool = False,
+                           exchange_budget_factor: float = 3.0):
     """Build a jit'd sharded render: (scene, view, proj, cam_pos) -> (H, W, 3).
 
     Camera inputs are replicated; the image is computed with its tile rows
@@ -148,11 +205,19 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
     replicated by default; with shard_splats=True it must arrive sharded
     over splats (see shard_scene_splats) and projection/culling are split
     across chips with an ICI all-gather of the compact screen-space
-    splats.  Differentiable: reverse-mode inserts the psum (replicated) or
-    reduce-scatter (splat-sharded) gradient collective.
+    splats — or, with exchange=True as well, an all_to_all that delivers
+    each chip ONLY the splats touching its band (per-chip work AND
+    collective bytes ~1/n_shards; the strong-scaling mode).
+    Differentiable: reverse-mode inserts the psum (replicated),
+    reduce-scatter (all-gather splat sharding), or reverse all_to_all
+    (exchange) gradient collective.
     """
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    if exchange and not shard_splats:
+        raise ValueError("exchange=True requires shard_splats=True")
+    if exchange and interleaved:
+        raise ValueError("exchange mode uses contiguous bands")
     n_shards = mesh.shape[TILE_AXIS]
     rows = _rows_per_shard(cfg, n_shards)
     stride = n_shards if interleaved else 1
@@ -162,6 +227,8 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
         shard_splats=shard_splats, row_stride=stride,
         band_budget_factor=band_budget_factor,
         gather_budget_factor=gather_budget_factor,
+        exchange=exchange, n_shards=n_shards,
+        exchange_budget_factor=exchange_budget_factor,
     )
 
     scene_spec = P(TILE_AXIS) if shard_splats else P()
@@ -222,7 +289,9 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
                             shard_splats: bool = False,
                             interleaved: bool = False,
                             band_budget_factor: float | None = 2.5,
-                            gather_budget_factor: float | None = None):
+                            gather_budget_factor: float | None = None,
+                            exchange: bool = False,
+                            exchange_budget_factor: float = 3.0):
     """Full multi-chip training step: L2 loss against a target image,
     gradient all-reduce over the mesh, optax update.
 
@@ -238,6 +307,7 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
         mesh, cfg, use_pallas, shard_splats=shard_splats,
         interleaved=interleaved, band_budget_factor=band_budget_factor,
         gather_budget_factor=gather_budget_factor,
+        exchange=exchange, exchange_budget_factor=exchange_budget_factor,
     )
 
     def loss_fn(scene, view, proj, cam_pos, target):

@@ -89,12 +89,12 @@ def main():
         leaf = jax.tree.leaves(out)[0]
         np.asarray(np.asarray(leaf).reshape(-1)[:4])
 
-    def bench(fn, *a):
-        out = fn(*a)
+    def bench(fn, *a, **kw):
+        out = fn(*a, **kw)
         hard_sync(out)
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(*a)
+            out = fn(*a, **kw)
         hard_sync(out)
         return (time.perf_counter() - t0) / iters
 
@@ -121,15 +121,19 @@ def main():
             if n_dev == 1 and interleaved:
                 continue
             stride = n_dev if interleaved else 1
-            t_shards = []
-            for idx in range(n_dev):
-                fn = jax.jit(
-                    functools.partial(
-                        _render_band, cfg=cfg, rows=rows,
-                        use_pallas=use_pallas, row_stride=stride, idx=idx,
-                    )
+            # idx is a TRACED argument: one compile covers every shard of
+            # this (n_dev, assignment) combo (compiles dominate otherwise)
+            fn = jax.jit(
+                functools.partial(
+                    _render_band, cfg=cfg, rows=rows,
+                    use_pallas=use_pallas, row_stride=stride,
                 )
-                t_shards.append(bench(fn, scene_d, view, proj, cam_pos))
+            )
+            t_shards = [
+                bench(fn, scene_d, view, proj, cam_pos,
+                      idx=jnp.int32(idx))
+                for idx in range(n_dev)
+            ]
             t_max, t_mean = max(t_shards), sum(t_shards) / len(t_shards)
             if n_dev == 1:
                 t1 = t_max

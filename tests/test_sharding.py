@@ -178,3 +178,116 @@ def test_splat_sharded_grads_match():
         b = np.asarray(getattr(g_sh, f))
         scale = np.abs(a).max() + 1e-6
         np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=f)
+
+
+def test_render_band_concrete_idx_matches_shard():
+    """The scaling harness runs _render_band with a concrete shard index
+    (scripts/scaling.py); its output must equal the corresponding rows of
+    the single-chip render for both assignments."""
+    from gaussiansplattingviewer_tpu.parallel.sharded_render import (
+        _render_band,
+        _rows_per_shard,
+    )
+
+    cfg = RenderConfig(width=160, height=96)
+    scene = random_scene(800, sh_degree=1, seed=4, extent=2.0, mean_scale=0.06)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    img_ref = np.asarray(
+        render(scene_d, view, proj, cam_pos, cfg, backend="tile")
+    )
+    n_dev = 3
+    rows = _rows_per_shard(cfg, n_dev)
+    ts = cfg.tile_size
+    for interleaved in (False, True):
+        stride = n_dev if interleaved else 1
+        for idx in range(n_dev):
+            band = np.asarray(
+                _render_band(
+                    scene_d, view, proj, cam_pos, cfg=cfg, rows=rows,
+                    use_pallas=False, row_stride=stride,
+                    idx=jnp.int32(idx),
+                )
+            )[:, : cfg.width]
+            for s in range(rows):
+                gr = (idx + s * n_dev) if interleaved else (idx * rows + s)
+                y0 = gr * ts
+                if y0 >= cfg.height:
+                    continue
+                h = min(ts, cfg.height - y0)
+                np.testing.assert_allclose(
+                    band[s * ts : s * ts + h],
+                    img_ref[y0 : y0 + h],
+                    atol=1e-5,
+                    err_msg=f"interleaved={interleaved} idx={idx} row={s}",
+                )
+
+
+def test_exchange_sharded_matches_single_chip():
+    """all_to_all splat exchange (each chip receives only splats touching
+    its band) must render identically to the single-chip image."""
+    from gaussiansplattingviewer_tpu.parallel import shard_scene_splats
+
+    cfg = RenderConfig(width=96, height=96)
+    scene = random_scene(512, sh_degree=1, seed=12, extent=2.0, mean_scale=0.06)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    img_ref = np.asarray(render(scene_d, view, proj, cam_pos, cfg, backend="tile"))
+
+    for n_dev in (2, 4):
+        mesh = make_mesh(n_dev)
+        scene_s = shard_scene_splats(scene, mesh)
+        fn = make_sharded_render_fn(
+            mesh, cfg, use_pallas=False, shard_splats=True, exchange=True
+        )
+        img = np.asarray(fn(scene_s, view, proj, cam_pos))
+        np.testing.assert_allclose(img, img_ref, atol=1e-5,
+                                   err_msg=f"n_dev={n_dev}")
+
+
+def test_exchange_sharded_grads_match():
+    """Gradients through the all_to_all exchange (its transpose is the
+    reverse all_to_all) must match the single-chip gradients."""
+    from gaussiansplattingviewer_tpu.parallel import shard_scene_splats
+
+    cfg = RenderConfig(width=64, height=64)
+    scene = random_scene(256, sh_degree=0, seed=13, extent=2.0, mean_scale=0.07)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    mesh = make_mesh(4)
+    fn = make_sharded_render_fn(
+        mesh, cfg, use_pallas=False, shard_splats=True, exchange=True
+    )
+
+    def loss_sh(sc):
+        return jnp.sum(fn(sc, view, proj, cam_pos) ** 2)
+
+    def loss_ref(sc):
+        return jnp.sum(render(sc, view, proj, cam_pos, cfg, backend="tile") ** 2)
+
+    g_sh = jax.grad(loss_sh)(shard_scene_splats(scene, mesh))
+    g_ref = jax.grad(loss_ref)(scene_d)
+    for f in ("xyz", "opacity", "sh"):
+        a = np.asarray(getattr(g_ref, f))
+        b = np.asarray(getattr(g_sh, f))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=f)
+
+
+def test_exchange_train_step_runs():
+    from gaussiansplattingviewer_tpu.parallel import shard_scene_splats
+
+    cfg = RenderConfig(width=48, height=48)
+    scene = random_scene(256, sh_degree=0, seed=3, extent=2.0, mean_scale=0.07)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    # darkened target so the initial loss (and grads) are nonzero
+    target = 0.7 * render(scene_d, view, proj, cam_pos, cfg, backend="tile")
+    mesh = make_mesh(4)
+    import optax
+
+    step = make_sharded_train_step(
+        mesh, cfg, optimizer=optax.sgd(1e-2), use_pallas=False,
+        shard_splats=True, exchange=True,
+    )
+    scene_s = shard_scene_splats(scene, mesh)
+    opt_state = optax.sgd(1e-2).init(scene_s)
+    scene2, _, loss = step(scene_s, opt_state, view, proj, cam_pos, target)
+    assert np.isfinite(float(loss))
+    assert not np.allclose(np.asarray(scene2.xyz), np.asarray(scene_s.xyz))
