@@ -42,6 +42,8 @@ def main():
     ap.add_argument("--no-fuse", action="store_true",
                     help="one program per step instead of one fused scan")
     ap.add_argument("--backend", type=str, default=None)
+    ap.add_argument("--no-autotune", action="store_true",
+                    help="skip per-scene binning pool autotuning")
     args = ap.parse_args()
 
     import jax
@@ -86,6 +88,22 @@ def main():
     view = jnp.asarray(tf.look_at(eye, look, [0, -1, 0]))
     proj = jnp.asarray(cam.get_project_matrix())
     cam_pos = jnp.asarray(np.asarray(eye, dtype=np.float32))
+
+    if not args.no_autotune:
+        # per-scene pool tuning (ops/autotune.py): one cheap projection
+        # pass sizes the duplicate-slot pools to the scene's footprint
+        # histogram so sort/gather/fold volume tracks live duplicates.
+        # Output is bit-identical (tests/test_autotune.py); this is the
+        # per-scene setup cost any scene-static renderer pays once.
+        from gaussiansplattingviewer_tpu.ops.autotune import autotune
+
+        cfg = autotune(scene, [view], [proj], [cam_pos], cfg)
+        print(
+            f"# autotuned: k1={cfg.dense_small_slots} "
+            f"ladder={cfg.pool_ladder} huge={cfg.pool_huge_entries} "
+            f"table_rows={cfg.table_budget_rows}",
+            file=sys.stderr,
+        )
 
     def loss_fn(sc):
         img = render(sc, view, proj, cam_pos, cfg, backend=backend)

@@ -89,6 +89,23 @@ class RenderConfig:
         coverage is unbounded like the reference's (gau_vert.glsl:174-178)
         — while the geometric ladder keeps total key volume tracking the
         live duplicate count.
+      pool_ladder: OPTIONAL explicit pool tiers ((extra_slots, entries),
+        ...) with strictly decreasing extra_slots, replacing the derived
+        mid/full/big tiers when non-empty (the huge whole-grid tier is
+        always appended on top so coverage stays unbounded).  This is the
+        per-scene tuning hook: ops/autotune.py measures a scene's
+        footprint histogram and emits a geometric ladder whose total slot
+        capacity tracks the LIVE duplicate count instead of the worst
+        case — every per-duplicate cost (sort, table gather, backward
+        fold) scales with it.  Entries beyond a tier's population are
+        harmlessly unused; undersized tiers demote splats (overflow
+        diagnostic counts them).
+      pool_huge_entries: absolute entry count for the huge tier
+        (0 = derive as max(N/pool_huge_fraction, 32)).
+      table_budget_rows: absolute materialized-table row budget
+        (0 = derive as table_budget_factor * N).  The autotuner sets this
+        just above the scene's live duplicate count so the table gather
+        touches ~live rows.
       table_budget_factor: materialized splat-table rows per Gaussian.
         The dense key buffer is dup_factor*N, but only ~2-4 duplicates per
         splat are typically live; the table (and every gather over it) is
@@ -136,6 +153,9 @@ class RenderConfig:
     pool_full_fraction: int = 16
     pool_big_fraction: int = 512
     pool_huge_fraction: int = 16384
+    pool_ladder: tuple = ()
+    pool_huge_entries: int = 0
+    table_budget_rows: int = 0
     table_budget_factor: int = 8
     stereo_baseline: float = -0.5
     depth_scale_inflate: float = 1.2

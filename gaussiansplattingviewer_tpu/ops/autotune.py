@@ -1,0 +1,158 @@
+"""Per-scene binning autotuner: size the duplicate-slot pools to the scene.
+
+The binning capacity (ops/binning.py) is the cost driver of the whole
+frame: the fused (tile|depth) sort, the table gather, and the backward's
+sort-carry gradient fold all scale with TOTAL SLOT CAPACITY, not with the
+live duplicate count.  The default static pools are sized for "typical"
+scenes; on any concrete scene they waste capacity (e.g. a 5.8M-splat
+garden-scale scene where most splats cover one tile burns 4 slots each in
+the default level-1 region — 23M slots for ~9M live duplicates).
+
+This module measures the scene's actual per-splat tile-footprint histogram
+for one or more representative camera poses (one cheap jitted pass: just
+projection + tile_bbox, no rasterization) and emits a RenderConfig whose
+
+  * level-1 slot count ``k1`` (dense_small_slots),
+  * geometric pool ladder (pool_ladder: doubling coverage tiers sized to
+    the measured populations + safety margin), and
+  * materialized-table row budget (table_budget_rows)
+
+minimize total capacity subject to zero demotions on the measured poses.
+The tuned config changes NOTHING about rendered output (pools are a
+layout/capacity concept only — tests/test_autotune.py asserts bit-equal
+images); it changes a per-scene one-off retrace/recompile for a frame-rate
+win, the same trade every scene-static renderer makes.
+
+The reference has no analogue (its GL path has no capacity concept; the
+CUDA lib allocates exact per-frame buffers with device-side prefix sums,
+impossible under XLA's static shapes — this tuner is the TPU-native
+equivalent of that exactness).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from gaussiansplattingviewer_tpu.config import RenderConfig
+from gaussiansplattingviewer_tpu.ops import binning
+from gaussiansplattingviewer_tpu.ops.projection import project
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def tile_counts(scene, view, proj, cam_pos, cfg: RenderConfig):
+    """Per-splat clamped tile-bbox footprint (0 for culled splats)."""
+    splats = project(scene, view, proj, cam_pos, cfg)
+    _, _, _, _, count, _ = binning.tile_bbox(splats, cfg)
+    return count
+
+
+def measure_counts(scene, views, projs, cam_positions, cfg: RenderConfig):
+    """Elementwise-max footprint over representative poses -> np (N,) i32."""
+    counts = None
+    for v, p, c in zip(views, projs, cam_positions):
+        cnt = np.asarray(
+            tile_counts(
+                scene,
+                jnp.asarray(v, jnp.float32),
+                jnp.asarray(p, jnp.float32),
+                jnp.asarray(c, jnp.float32),
+                cfg,
+            )
+        )
+        counts = cnt if counts is None else np.maximum(counts, cnt)
+    return counts
+
+
+def _round_up(x: int, q: int) -> int:
+    return -(-int(x) // q) * q
+
+
+def _ladder_capacity(counts_live, n, k1, span_cap, safety, round_to):
+    """Build the geometric ladder for a given k1; return (capacity, cfg
+    fields).  Tiers double coverage: 2*k1, 4*k1, ... then the whole-grid
+    huge tier."""
+    covs = []
+    c = 2 * k1
+    while c < min(256, span_cap):
+        covs.append(c)
+        c *= 2
+    if covs and covs[-1] < 256 <= span_cap:
+        covs.append(min(256, span_cap))
+    ladder = []
+    lo = k1
+    for cov in covs:
+        pop = int(np.count_nonzero((counts_live > lo) & (counts_live <= cov)))
+        lo = cov
+        if pop == 0:
+            continue
+        entries = max(_round_up(pop * safety, round_to), round_to)
+        ladder.append((cov - k1, entries))
+    huge_pop = int(np.count_nonzero(counts_live > lo))
+    huge_entries = max(_round_up(huge_pop * safety, 8), 8)
+    capacity = (
+        k1 * n
+        + sum(kx * c for kx, c in ladder)
+        + span_cap * huge_entries
+    )
+    # binning wants tiers hungriest-first (strictly decreasing extras)
+    return capacity, tuple(reversed(ladder)), huge_entries
+
+
+def tuned_config(
+    cfg: RenderConfig,
+    counts,
+    k1: int | None = None,
+    safety: float = 1.2,
+    round_to: int = 1024,
+) -> RenderConfig:
+    """RenderConfig with scene-tuned pools from a measure_counts() result.
+
+    safety inflates every measured population (and the table-row budget)
+    to absorb pose drift; binning's overflow/truncated diagnostics report
+    if a later pose exceeds the tuned capacity (output then loses the
+    demoted splats' outermost tiles — re-tune with more poses).
+    """
+    counts = np.asarray(counts)
+    n = int(counts.shape[0])
+    counts_live = counts[counts > 0]
+    span_cap = cfg.num_tiles
+    if cfg.max_tiles_per_gaussian > 0:
+        span_cap = min(span_cap, cfg.max_tiles_per_gaussian)
+
+    best = None
+    for k1c in [k1] if k1 else [1, 2, 4]:
+        cap, ladder, huge = _ladder_capacity(
+            counts_live, n, k1c, span_cap, safety, round_to
+        )
+        # cost model: every SLOT pays keygen + sort + gradient-fold
+        # (~17ns measured); every pool ENTRY additionally pays one packed
+        # row gather + derived-field recompute (~8ns) — about half a slot
+        entries = sum(c for _, c in ladder) + huge
+        score = cap + 0.5 * entries
+        if best is None or score < best[0]:
+            best = (score, cap, k1c, ladder, huge)
+    _, cap, k1c, ladder, huge = best
+
+    # table rows the sort can produce = total live duplicates; bbox counts
+    # upper-bound the (tight-culled) live entries, so this never truncates
+    # on the measured poses
+    live_rows = int(np.minimum(counts_live, span_cap).sum())
+    budget = min(cap, max(_round_up(live_rows * safety, 4096), 4096))
+    return cfg.with_(
+        dense_small_slots=k1c,
+        pool_ladder=ladder,
+        pool_huge_entries=huge,
+        table_budget_rows=budget,
+    )
+
+
+def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
+             **kw) -> RenderConfig:
+    """measure_counts + tuned_config in one call."""
+    counts = measure_counts(scene, views, projs, cam_positions, cfg)
+    return tuned_config(cfg, counts, **kw)

@@ -47,7 +47,12 @@ from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
 from gaussiansplattingviewer_tpu.ops.projection import ProjectedSplats
 
 # Row layout of the packed splat table (lane-padded to 16 floats):
-# [cx, cy, conic_a, conic_b, conic_c, r, g, b, opacity, rx, ry, depth, 0...]
+# [cx, cy, conic_a, conic_b, conic_c, r, g, b, opacity, rx, ry, depth,
+#  x0, y0, w, count].  Columns 12-15 hold the per-splat tile-bbox (exact
+# small ints in f32) ONLY inside bin_splats' augmented copy, so pool-tier
+# key generation gathers ONE row per entry instead of 13 per-field
+# gathers (measured: the per-field gathers made fine-grained pool ladders
+# a net loss).  The blend kernels never read those columns.
 TABLE_WIDTH = 16
 COL_CX, COL_CY = 0, 1
 COL_A, COL_B, COL_C = 2, 3, 4
@@ -55,6 +60,7 @@ COL_R, COL_G, COL_BCH = 5, 6, 7
 COL_OPACITY = 8
 COL_RX, COL_RY = 9, 10
 COL_DEPTH = 11
+COL_X0, COL_Y0, COL_W, COL_COUNT = 12, 13, 14, 15
 # columns 0..8 (cx..opacity) are the only ones the blend differentiates;
 # radius/depth/padding are forward-only
 GRAD_WIDTH = COL_OPACITY + 1
@@ -389,24 +395,45 @@ def bin_splats(
     span_cap = num_tiles
     if cfg.max_tiles_per_gaussian > 0:
         span_cap = min(span_cap, cfg.max_tiles_per_gaussian)
-    k2b = min(cfg.dense_big_slots, span_cap)
-    k2h = span_cap if span_cap > k2b else 0
-    # tier specs, hungriest first: (extra_slots, min_entries, fraction).
-    # A tier is active only when it covers strictly more than the next
-    # smaller one (else the smaller tier subsumes it).
-    specs = []
-    if k2h > k2b:
-        specs.append((k2h, 32, cfg.pool_huge_fraction))
-    if k2b > k2f:
-        specs.append((k2b, 2048, cfg.pool_big_fraction))
-    if k2f > 0:
-        specs.append((k2f, 4096, cfg.pool_full_fraction))
-    if 0 < k2m < k2f:
-        specs.append((k2m, 4096, cfg.pool_mid_fraction))
+    # tier specs, hungriest first: (extra_slots, entry_count).  A tier is
+    # active only when it covers strictly more than the next smaller one
+    # (else the smaller tier subsumes it).  An explicit cfg.pool_ladder
+    # (per-scene autotuned, ops/autotune.py) replaces the derived
+    # mid/full/big tiers; the whole-grid HUGE tier is always on top so
+    # per-splat coverage stays unbounded like the reference quad's
+    # (gau_vert.glsl:174-178).
+    huge_entries = cfg.pool_huge_entries or max(
+        n // cfg.pool_huge_fraction, 32
+    )
+    if cfg.pool_ladder:
+        ladder = [
+            (int(kx), int(c))
+            for kx, c in cfg.pool_ladder
+            if int(kx) > 0 and int(c) > 0
+        ]
+        assert all(
+            a[0] > b[0] for a, b in zip(ladder, ladder[1:])
+        ), "pool_ladder extra_slots must be strictly decreasing"
+        k2h = span_cap if (not ladder or span_cap > ladder[0][0]) else 0
+        specs = ([(k2h, huge_entries)] if k2h else []) + [
+            (kx, c) for kx, c in ladder if kx < span_cap
+        ]
+    else:
+        k2b = min(cfg.dense_big_slots, span_cap)
+        k2h = span_cap if span_cap > k2b else 0
+        specs = []
+        if k2h > k2b:
+            specs.append((k2h, huge_entries))
+        if k2b > k2f:
+            specs.append((k2b, max(n // cfg.pool_big_fraction, 2048)))
+        if k2f > 0:
+            specs.append((k2f, max(n // cfg.pool_full_fraction, 4096)))
+        if 0 < k2m < k2f:
+            specs.append((k2m, max(n // cfg.pool_mid_fraction, 4096)))
     kxs, caps = [], []
     left = n
-    for kx, mn, frac in specs:
-        c = max(min(left, max(n // frac, mn)), 0)
+    for kx, c in specs:
+        c = max(min(left, c), 0)
         kxs.append(kx)
         caps.append(c)
         left -= c
@@ -436,15 +463,17 @@ def bin_splats(
     # pool-exhaustion demotions truncate a splat's tile list to the tier it
     # actually got (trailing row-major tiles drop).  All count as overflow
     # (quality diagnostics), none break the render; with default pool
-    # sizes nothing demotes on real scenes.
+    # sizes nothing demotes on real scenes.  NOTE the raw ``count`` needs
+    # no clamping for key generation: slot kk is live iff kk < count, and
+    # every slot a demoted/spilled splat still OWNS has kk below its
+    # clamped count anyway (the clamp only removes slots that don't
+    # exist) — so keys below use raw counts everywhere.
     demoted = jnp.zeros_like(need_any)
     for t in range(nt_pool):
         over = in_tier[t] & (count > k1 + kxs[t])
         demoted = demoted | over
-        count = jnp.where(in_tier[t], jnp.minimum(count, k1 + kxs[t]), count)
     in_any = need_any & (pos < total_pool)
     spilled = need_any & ~in_any
-    count = jnp.where(spilled, jnp.minimum(count, k1), count)
     tier_ids = [sel[offs[t] : offs[t + 1]] for t in range(nt_pool)]
     big_pos = jnp.where(in_any, pos, total_pool)
 
@@ -468,58 +497,71 @@ def bin_splats(
     do_tight = bool(cfg.tight_culling) and int(cfg.mode) != int(
         RenderMode.BILLBOARD
     )
-    if do_tight:
-        import math as _math
+    import math as _math
 
-        op_m = jnp.where(splats.valid, splats.opacity, 0.0)
-        thr = 2.0 * (
-            jnp.log(jnp.maximum(op_m, 1e-20))
-            - _math.log(cfg.alpha_min)
-        )
-        ccx, ccy = splats.mean2d[:, 0], splats.mean2d[:, 1]
-        # PD PRECONDITION: the edge-minimization below (and these clamps,
-        # which guard the divisions) is only output-exact for positive-
-        # definite conics.  projection.py guarantees PD (it inverts
-        # cov2d + 0.3*I, gau_vert.glsl:117-118); if a future projection
-        # change can emit non-PD conics, skip culling for those splats or
-        # this test may cull a tile the blend kernels would render.
-        ca = jnp.maximum(splats.conic[:, 0], 1e-12)
-        cb = splats.conic[:, 1]
-        cc = jnp.maximum(splats.conic[:, 2], 1e-12)
+    log_alpha_min = _math.log(cfg.alpha_min)
+
+    # the packed table, augmented with the per-splat tile bbox in its four
+    # spare columns: pool-tier key generation below gathers ONE row per
+    # pool entry (per-row gather cost is ~width-independent) instead of 13
+    # per-field gathers — the per-field formulation made fine-grained pool
+    # ladders a net LOSS (each pool entry cost ~13 x 7ns of gathers).
+    # The blend kernels ignore columns 12-15 and the gradient fold zeroes
+    # them, so the augmented table doubles as the kernel table source.
+    f32 = jnp.float32
+    table_src = pack_table(splats)
+    table_src = table_src.at[:, COL_X0].set(x0.astype(f32))
+    table_src = table_src.at[:, COL_Y0].set(y0.astype(f32))
+    table_src = table_src.at[:, COL_W].set(w.astype(f32))
+    table_src = table_src.at[:, COL_COUNT].set(count.astype(f32))
+
+    def _tight_fields(mean_x, mean_y, conic_a, conic_b, conic_c, opac):
+        """Derived tight-culling fields (recomputed per pool entry after
+        the row gather; bit-identical math to the all-N computation).
+
+        PD PRECONDITION: the edge minimization (and these clamps, which
+        guard the divisions) is only output-exact for positive-definite
+        conics.  projection.py guarantees PD (it inverts cov2d + 0.3*I,
+        gau_vert.glsl:117-118); if a future projection change can emit
+        non-PD conics, skip culling for those splats or this test may
+        cull a tile the blend kernels would render.
+        """
+        thr = 2.0 * (jnp.log(jnp.maximum(opac, 1e-20)) - log_alpha_min)
+        ca = jnp.maximum(conic_a, 1e-12)
+        cc = jnp.maximum(conic_c, 1e-12)
         # per-splat ratios so the per-slot edge minimizations are div-free
-        rbc = cb / cc
-        rba = cb / ca
-    else:
-        thr = ccx = ccy = ca = cb = cc = rbc = rba = None
+        return dict(
+            ccx=mean_x, ccy=mean_y, ca=ca, cb=conic_b, cc=cc,
+            rbc=conic_b / cc, rba=conic_b / ca, thr=thr,
+        )
 
-    def level_keys(ids, k_lo, k_hi):
+    def level_keys(v, k_lo, k_hi):
         """Fused sort keys for slots [k_lo, k_hi), SLOT-MAJOR (k, n) layout.
 
         Slot-major means the flatten to 1-D is a free major-axis reshape;
         the splat-major (n, k) layout's flatten was a TPU relayout pass
         costing ~45 ms per 7M elements (see _gather_table_rows docstring).
-        ``ids=None`` means the identity (level 1, avoids gathers).
+        ``v`` holds the per-splat/per-entry 1-D field arrays.
         """
-        g = (lambda v: v) if ids is None else (lambda v: v[ids])
         kk = jnp.arange(k_lo, k_hi, dtype=jnp.int32)[:, None]
-        w_s = jnp.maximum(g(w), 1)[None, :]
+        w_s = jnp.maximum(v["w"], 1)[None, :]
         qq = _floordiv_small(kk, w_s)  # kk // w_s without integer divide
         rr = kk - qq * w_s  # kk % w_s
-        tx_i = g(x0)[None, :] + rr
-        ty_i = g(y0)[None, :] + qq
-        live = kk < g(count)[None, :]
+        tx_i = v["x0"][None, :] + rr
+        ty_i = v["y0"][None, :] + qq
+        live = kk < v["count"][None, :]
         if do_tight:
             ts = float(cfg.tile_size)
             # pixel-center rect of the candidate tile, relative to the
             # splat center (ty_i is band-local; row_offset restores the
             # global pixel row)
-            xlo = tx_i.astype(jnp.float32) * ts + 0.5 - g(ccx)[None, :]
+            xlo = tx_i.astype(jnp.float32) * ts + 0.5 - v["ccx"][None, :]
             gy = row_offset + ty_i * row_stride  # global tile row
-            ylo = gy.astype(jnp.float32) * ts + 0.5 - g(ccy)[None, :]
+            ylo = gy.astype(jnp.float32) * ts + 0.5 - v["ccy"][None, :]
             xhi = xlo + (ts - 1.0)
             yhi = ylo + (ts - 1.0)
-            va, vb, vc = g(ca)[None, :], g(cb)[None, :], g(cc)[None, :]
-            vrbc, vrba = g(rbc)[None, :], g(rba)[None, :]
+            va, vb, vc = v["ca"][None, :], v["cb"][None, :], v["cc"][None, :]
+            vrbc, vrba = v["rbc"][None, :], v["rba"][None, :]
 
             def edge_x(ex):  # min of f over the edge dx = ex
                 dy = jnp.clip(-vrbc * ex, ylo, yhi)
@@ -535,22 +577,52 @@ def bin_splats(
             )
             inside = (xlo <= 0.0) & (xhi >= 0.0) & (ylo <= 0.0) & (yhi >= 0.0)
             f_min = jnp.where(inside, 0.0, f_min)
-            live = live & (f_min <= g(thr)[None, :])
+            live = live & (f_min <= v["thr"][None, :])
         tiles = ty_i * cfg.tiles_x + tx_i
         tiles = jnp.where(live, tiles, sentinel).astype(jnp.uint32)
         return (
-            (tiles << jnp.uint32(depth_bits)) | g(dq)[None, :]
+            (tiles << jnp.uint32(depth_bits)) | v["dq"][None, :]
         ).reshape(-1)
 
+    def full_fields():
+        v = dict(x0=x0, y0=y0, w=w, count=count, dq=dq)
+        if do_tight:
+            op_m = jnp.where(splats.valid, splats.opacity, 0.0)
+            v.update(_tight_fields(
+                splats.mean2d[:, 0], splats.mean2d[:, 1],
+                splats.conic[:, 0], splats.conic[:, 1], splats.conic[:, 2],
+                op_m,
+            ))
+        return v
+
+    def entry_fields(ids):
+        rows = table_src[ids]  # ONE row gather per pool entry
+        v = dict(
+            x0=rows[:, COL_X0].astype(jnp.int32),
+            y0=rows[:, COL_Y0].astype(jnp.int32),
+            w=rows[:, COL_W].astype(jnp.int32),
+            count=rows[:, COL_COUNT].astype(jnp.int32),
+            dq=jax.lax.bitcast_convert_type(
+                jnp.maximum(rows[:, COL_DEPTH], 0.0), jnp.uint32
+            ) >> jnp.uint32(32 - depth_bits),
+        )
+        if do_tight:
+            v.update(_tight_fields(
+                rows[:, COL_CX], rows[:, COL_CY],
+                rows[:, COL_A], rows[:, COL_B], rows[:, COL_C],
+                rows[:, COL_OPACITY],
+            ))
+        return v
+
     all_ids = jnp.arange(n, dtype=jnp.int32)
-    keys_parts = [level_keys(None, 0, k1)]
+    keys_parts = [level_keys(full_fields(), 0, k1)]
     row_parts = [jnp.broadcast_to(all_ids[None, :], (k1, n)).reshape(-1)]
     # pool order MUST match the cat-major rank order (hungriest tier
     # first): the VJP fold routes pool gradients back by rank via big_pos
     for ids, kx, clen in zip(tier_ids, kxs, caps):
         if clen == 0:
             continue
-        keys_parts.append(level_keys(ids, k1, k1 + kx))
+        keys_parts.append(level_keys(entry_fields(ids), k1, k1 + kx))
         row_parts.append(
             jnp.broadcast_to(ids[None, :], (kx, clen)).reshape(-1)
         )
@@ -592,12 +664,12 @@ def bin_splats(
     # segment and mask the out-of-range rows.  Sentinel entries sort to the
     # tail, outside every range; a CHUNK of physical padding keeps the
     # kernels' last aligned window in bounds.
-    cap_mat = min(cap, cfg.table_budget_factor * n)
+    budget = cfg.table_budget_rows or cfg.table_budget_factor * n
+    cap_mat = min(cap, budget)
     truncated = jnp.maximum(total - cap_mat, 0)
     starts = jnp.minimum(starts, cap_mat)
     counts = jnp.diff(starts)
 
-    table_src = pack_table(splats)
     rows_trunc = rows_sorted[:cap_mat]
     table = _gather_table_rows(
         (k1, tuple(zip(kxs, caps))),
