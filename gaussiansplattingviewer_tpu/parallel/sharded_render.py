@@ -29,7 +29,12 @@ from gaussiansplattingviewer_tpu.config import RenderConfig
 from gaussiansplattingviewer_tpu.models.gaussians import GaussianData
 from gaussiansplattingviewer_tpu.ops import binning
 from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
-from gaussiansplattingviewer_tpu.ops.compaction import compact_by_mask
+from gaussiansplattingviewer_tpu.ops.compaction import (
+    compact_by_mask,
+    compact_splats,
+    pack_splats,
+    unpack_splats,
+)
 from gaussiansplattingviewer_tpu.ops.projection import project
 from gaussiansplattingviewer_tpu.parallel.mesh import TILE_AXIS
 
@@ -40,6 +45,53 @@ def _rows_per_shard(cfg: RenderConfig, n_shards: int) -> int:
 
 def _round_budget(b: int, n: int) -> int:
     return min(n, max(-(-b // 1024) * 1024, 4096))
+
+
+def _exchange_parts(splats, cfg: RenderConfig, rows: int, n_shards: int,
+                    exchange_budget_factor: float):
+    """Send side of exchange mode: partition this chip's projected splats
+    by destination tile-row band.  Returns (rows (n_shards, budget, 12),
+    valid (n_shards, budget), kept (n_shards, budget)) — one all_to_all
+    away from every chip holding exactly the splats touching its band.
+    Factored out so scripts/scaling.py can time one shard's send-side
+    compute standalone (collectives can't run single-device)."""
+    n_loc = splats.valid.shape[0]
+    # destination band span from the GLOBAL tile-row bbox; rows is a
+    # static Python int so the // lowers to multiply-shift, not the
+    # bit-serial traced-divisor path (see binning._floordiv_small)
+    _, y0g, _, hh, cnt, _ = binning.tile_bbox(splats, cfg)
+    live = cnt > 0
+    d0 = jnp.clip(y0g // rows, 0, n_shards - 1)
+    d1 = jnp.clip((y0g + hh - 1) // rows, 0, n_shards - 1)
+    frac = min(1.0, rows / cfg.tiles_y * exchange_budget_factor)
+    budget = _round_budget(int(n_loc * frac), n_loc)
+    # pack ONCE; per-destination compaction then costs one row gather
+    # + one bool gather instead of seven per-leaf gathers
+    rows_all, valid_all = pack_splats(splats)
+    rows_all = rows_all[:, :12]  # drop the 4 spare columns on the wire
+    parts, vparts, keeps = [], [], []
+    for d in range(n_shards):
+        m = live & (d0 <= d) & (d <= d1)
+        (rows_d, valid_d), kept_d, _ = compact_by_mask(
+            (rows_all, valid_all), m, budget
+        )
+        parts.append(rows_d)
+        vparts.append(valid_d)
+        keeps.append(kept_d)
+    return (
+        jnp.stack(parts, axis=0),
+        jnp.stack(vparts, axis=0),
+        jnp.stack(keeps, axis=0),
+    )
+
+
+def _splats_from_received(rows_rx, valid_rx):
+    """Receive side of exchange mode: packed 12-col rows -> ProjectedSplats."""
+    rows_rx = jnp.concatenate(
+        [rows_rx, jnp.zeros(rows_rx.shape[:1] + (4,), rows_rx.dtype)],
+        axis=1,
+    )
+    return unpack_splats(rows_rx, valid_rx)
 
 
 def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
@@ -88,26 +140,9 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     splats = project(scene, view, proj, cam_pos, cfg)
     if shard_splats and exchange:
         assert row_stride == 1, "exchange mode uses contiguous bands"
-        n_loc = splats.valid.shape[0]
-        # destination band span from the GLOBAL tile-row bbox; rows is a
-        # static Python int so the // lowers to multiply-shift, not the
-        # bit-serial traced-divisor path (see binning._floordiv_small)
-        _, y0g, _, hh, cnt, _ = binning.tile_bbox(splats, cfg)
-        live = cnt > 0
-        d0 = jnp.clip(y0g // rows, 0, n_shards - 1)
-        d1 = jnp.clip((y0g + hh - 1) // rows, 0, n_shards - 1)
-        frac = min(1.0, rows / cfg.tiles_y * exchange_budget_factor)
-        budget = _round_budget(int(n_loc * frac), n_loc)
-        parts, keeps = [], []
-        for d in range(n_shards):
-            m = live & (d0 <= d) & (d <= d1)
-            cpart, kept_d, _ = compact_by_mask(splats, m, budget)
-            parts.append(cpart)
-            keeps.append(kept_d)
-        stacked = jax.tree.map(
-            lambda *ls: jnp.stack(ls, axis=0), *parts
-        )  # (n_shards, budget, ...)
-        kept = jnp.stack(keeps, axis=0)
+        stacked, vstacked, kept = _exchange_parts(
+            splats, cfg, rows, n_shards, exchange_budget_factor
+        )
 
         def a2a(a):
             # (n_shards, budget, ...) -> same shape with axis-0 slice s now
@@ -118,10 +153,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
             )
             return out.reshape((-1,) + out.shape[2:])
 
-        splats = jax.tree.map(a2a, stacked)  # (n_shards * budget, ...)
-        splats = dataclasses.replace(
-            splats, valid=splats.valid & a2a(kept)
-        )
+        splats = _splats_from_received(a2a(stacked), a2a(vstacked) & a2a(kept))
     elif shard_splats:
         if gather_budget_factor is not None:
             # frustum-survivor compaction BEFORE the collective: the
@@ -133,7 +165,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
             budget = _round_budget(
                 int(n_loc * gather_budget_factor), n_loc
             )
-            splats, kept, _ = compact_by_mask(splats, splats.valid, budget)
+            splats, kept, _ = compact_splats(splats, splats.valid, budget)
             splats = dataclasses.replace(
                 splats, valid=splats.valid & kept
             )
@@ -164,7 +196,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
         )
         frac = min(1.0, rows / cfg.tiles_y * band_budget_factor)
         budget = _round_budget(int(n_all * frac), n_all)
-        splats, kept, _ = compact_by_mask(splats, cnt > 0, budget)
+        splats, kept, _ = compact_splats(splats, cnt > 0, budget)
         splats = dataclasses.replace(splats, valid=splats.valid & kept)
     binned = binning.bin_splats(
         splats, cfg, row_offset=row0, local_rows=rows, row_stride=row_stride

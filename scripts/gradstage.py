@@ -33,6 +33,10 @@ def main():
     proj = jnp.asarray(cam.get_project_matrix())
     cam_pos = jnp.asarray(eye.astype(np.float32))
 
+    from gaussiansplattingviewer_tpu.ops.autotune import autotune
+
+    cfg = autotune(scene, [view], [proj], [cam_pos], cfg)  # match bench.py
+
     def hard_sync(out):
         leaf = jax.tree.leaves(out)[0]
         np.asarray(np.asarray(leaf).reshape(-1)[:1])
