@@ -356,13 +356,28 @@ def blend_bwd_pallas(
     cfg: RenderConfig, local_rows: int | None = None, row_stride: int = 1,
 ):
     """table (Dpad, 16) row-major; returns g_table (Dpad, 16)."""
+    return blend_bwd_pallas_soa(
+        table.T, starts, counts, row_offset, g_rgb, g_trans, out_rgb,
+        out_trans, cfg, local_rows, row_stride,
+    ).T
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
+def blend_bwd_pallas_soa(
+    table_soa, starts, counts, row_offset, g_rgb, g_trans, out_rgb,
+    out_trans, cfg: RenderConfig, local_rows: int | None = None,
+    row_stride: int = 1,
+):
+    """Attribute-major variant: table_soa (16, Dpad) in, g (16, Dpad) out
+    (the kernel's native layouts; no transposes)."""
     p = cfg.tile_size * cfg.tile_size
     if local_rows is None:
         local_rows = cfg.tiles_y
     num_tiles = local_rows * cfg.tiles_x
-    dpad = table.shape[0]
+    dpad = table_soa.shape[1]
 
-    table_soa = table.T  # (16, Dpad)
     g_packed = jnp.concatenate([g_rgb, g_trans[..., None]], axis=-1)
     out_packed = jnp.concatenate([out_rgb, out_trans[..., None]], axis=-1)
     gtable_zero = jnp.zeros((TABLE_WIDTH, dpad), jnp.float32)
@@ -393,12 +408,10 @@ def blend_bwd_pallas(
         ],
     )
 
-    g_table_soa = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_kernel, cfg=cfg, row_stride=row_stride),
         out_shape=jax.ShapeDtypeStruct((TABLE_WIDTH, dpad), jnp.float32),
         grid_spec=grid_spec,
         input_output_aliases={6: 0},  # zeros input -> output buffer
         interpret=(jax.default_backend() == "cpu"),
     )(starts, counts, rowoff, g_packed, out_packed, table_soa, gtable_zero)
-
-    return g_table_soa.T  # back to (Dpad, 16)

@@ -252,14 +252,26 @@ def rasterize_binned_pallas(
     table: (Dpad, 16) row-major (transposed internally for streaming).
     Returns (rgb_tiles (T, P, 3), trans_tiles (T, P)).
     """
+    assert table.shape[-1] == TABLE_WIDTH
+    # attribute-major layout for lane-aligned streaming
+    return rasterize_binned_pallas_soa(
+        table.T, starts, counts, row_offset, cfg, local_rows, row_stride
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
+def rasterize_binned_pallas_soa(
+    table_soa, starts, counts, row_offset, cfg: RenderConfig,
+    local_rows: int | None = None, row_stride: int = 1,
+):
+    """Same as rasterize_binned_pallas but taking the attribute-major
+    (16, Dpad) table directly (no transpose)."""
     p = cfg.tile_size * cfg.tile_size
     if local_rows is None:
         local_rows = cfg.tiles_y
     num_tiles = local_rows * cfg.tiles_x
-    assert table.shape[-1] == TABLE_WIDTH
-
-    # attribute-major layout for lane-aligned streaming
-    table_soa = table.T  # (16, Dpad)
     rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -48,32 +48,46 @@ def _round_budget(b: int, n: int) -> int:
 
 
 def _exchange_parts(splats, cfg: RenderConfig, rows: int, n_shards: int,
-                    exchange_budget_factor: float):
+                    exchange_budget_factor: float, row_stride: int = 1):
     """Send side of exchange mode: partition this chip's projected splats
-    by destination tile-row band.  Returns (rows (n_shards, budget, 12),
+    by destination tile-row owner.  Returns (rows (n_shards, budget, 12),
     valid (n_shards, budget), kept (n_shards, budget)) — one all_to_all
-    away from every chip holding exactly the splats touching its band.
+    away from every chip holding exactly the splats touching its rows.
     Factored out so scripts/scaling.py can time one shard's send-side
-    compute standalone (collectives can't run single-device)."""
+    compute standalone (collectives can't run single-device).
+
+    row_stride == 1: chip d owns the contiguous band [d*rows, (d+1)*rows);
+    row_stride == n_shards: chip d owns the interleaved rows {d + s*n} —
+    the load-balanced assignment.  A splat goes to chip d iff its global
+    tile-row span [y0, y1] contains a row ≡ d (mod n): (d - y0) mod n <=
+    y1 - y0.  (rows is a static Python int so // lowers to multiply-shift,
+    not the bit-serial traced-divisor path, see binning._floordiv_small.)
+    """
     n_loc = splats.valid.shape[0]
-    # destination band span from the GLOBAL tile-row bbox; rows is a
-    # static Python int so the // lowers to multiply-shift, not the
-    # bit-serial traced-divisor path (see binning._floordiv_small)
     _, y0g, _, hh, cnt, _ = binning.tile_bbox(splats, cfg)
     live = cnt > 0
-    d0 = jnp.clip(y0g // rows, 0, n_shards - 1)
-    d1 = jnp.clip((y0g + hh - 1) // rows, 0, n_shards - 1)
     frac = min(1.0, rows / cfg.tiles_y * exchange_budget_factor)
     budget = _round_budget(int(n_loc * frac), n_loc)
+    if row_stride == 1:
+        d0 = jnp.clip(y0g // rows, 0, n_shards - 1)
+        d1 = jnp.clip((y0g + hh - 1) // rows, 0, n_shards - 1)
+
+        def dest_mask(d):
+            return live & (d0 <= d) & (d <= d1)
+    else:
+        assert row_stride == n_shards
+        span = hh - 1  # y1 - y0
+
+        def dest_mask(d):
+            return live & (jnp.mod(d - y0g, n_shards) <= span)
     # pack ONCE; per-destination compaction then costs one row gather
     # + one bool gather instead of seven per-leaf gathers
     rows_all, valid_all = pack_splats(splats)
     rows_all = rows_all[:, :12]  # drop the 4 spare columns on the wire
     parts, vparts, keeps = [], [], []
     for d in range(n_shards):
-        m = live & (d0 <= d) & (d <= d1)
         (rows_d, valid_d), kept_d, _ = compact_by_mask(
-            (rows_all, valid_all), m, budget
+            (rows_all, valid_all), dest_mask(d), budget
         )
         parts.append(rows_d)
         vparts.append(valid_d)
@@ -139,9 +153,8 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
 
     splats = project(scene, view, proj, cam_pos, cfg)
     if shard_splats and exchange:
-        assert row_stride == 1, "exchange mode uses contiguous bands"
         stacked, vstacked, kept = _exchange_parts(
-            splats, cfg, rows, n_shards, exchange_budget_factor
+            splats, cfg, rows, n_shards, exchange_budget_factor, row_stride
         )
 
         def a2a(a):
@@ -248,8 +261,6 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
         use_pallas = jax.default_backend() == "tpu"
     if exchange and not shard_splats:
         raise ValueError("exchange=True requires shard_splats=True")
-    if exchange and interleaved:
-        raise ValueError("exchange mode uses contiguous bands")
     n_shards = mesh.shape[TILE_AXIS]
     rows = _rows_per_shard(cfg, n_shards)
     stride = n_shards if interleaved else 1

@@ -26,12 +26,19 @@ on the TPU chip.  Writes SCALING.json and prints a table.
 """
 
 import argparse
+import dataclasses
 import functools
 import json
 import os
 import time
 
 import numpy as np
+
+# modeled ICI effective bandwidth per chip for the exchange collective
+# (v5e: 4 links x ~45 GB/s net usable per direction is optimistic; use a
+# conservative single-link figure and REPORT it — compute is measured,
+# only the collective is modeled because one chip is available)
+ICI_GBPS = 45.0
 
 
 def main():
@@ -114,6 +121,75 @@ def main():
         "runs": [],
     }
 
+    # ---- exchange mode: splats sharded; per-shard work = project(N/n) +
+    # band partition + bin/blend of the received band splats.  The
+    # all_to_all itself cannot run on one chip; its bytes are counted and
+    # converted at ICI_GBPS (reported as modeled).  Everything else is
+    # measured per-shard device time, like the replicated modes below.
+    from gaussiansplattingviewer_tpu.ops import binning as binning_mod
+    from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
+    from gaussiansplattingviewer_tpu.parallel.sharded_render import (
+        _exchange_parts,
+        _splats_from_received,
+    )
+    from gaussiansplattingviewer_tpu.ops.projection import project as project_fn
+
+    def exchange_run(n_dev, interleaved):
+        rows = _rows_per_shard(cfg, n_dev)
+        stride = n_dev if interleaved else 1
+        n_pad = -(-n // n_dev) * n_dev
+        sc = scene.pad_to(n_pad) if n_pad != n else scene
+        shards = [
+            jax.tree.map(
+                lambda a: jnp.asarray(
+                    np.asarray(a)[i * (n_pad // n_dev): (i + 1) * (n_pad // n_dev)]
+                ),
+                sc,
+            )
+            for i in range(n_dev)
+        ]
+
+        send = jax.jit(lambda s: _exchange_parts(
+            project_fn(s, view, proj, cam_pos, cfg), cfg, rows, n_dev, 3.0,
+            row_stride=stride,
+        ))
+
+        def recv_body(rows_rx, valid_rx, idx):
+            splats = _splats_from_received(rows_rx, valid_rx)
+            row0 = idx if interleaved else idx * rows
+            binned = binning_mod.bin_splats(
+                splats, cfg, row_offset=row0, local_rows=rows,
+                row_stride=stride,
+            )
+            rgb_tiles, trans_tiles = blend_tiles(
+                cfg, use_pallas, rows, stride,
+                binned.table, binned.tile_starts, binned.tile_counts,
+                jnp.int32(row0),
+            )
+            return rgb_tiles, trans_tiles
+
+        recv = jax.jit(recv_body)
+
+        t_send, parts = [], []
+        for i in range(n_dev):
+            t_send.append(bench(send, shards[i]))
+            parts.append(jax.tree.map(np.asarray, send(shards[i])))
+        t_shards, comm_bytes = [], []
+        for i in range(n_dev):
+            rows_rx = jnp.asarray(
+                np.concatenate([p[0][i] for p in parts], axis=0)
+            )
+            valid_rx = jnp.asarray(np.concatenate(
+                [p[1][i] & p[2][i] for p in parts], axis=0
+            ))
+            t_recv = bench(recv, rows_rx, valid_rx, jnp.int32(i))
+            t_shards.append(t_send[i] + t_recv)
+            # bytes this chip sends to OTHERS (local slice stays put)
+            per_dest = parts[i][0][0].nbytes + parts[i][1][0].nbytes * 2
+            comm_bytes.append(per_dest * (n_dev - 1))
+        comm_s = max(comm_bytes) / (ICI_GBPS * 1e9)
+        return t_shards, comm_s, max(comm_bytes)
+
     t1 = None
     for n_dev in (1, 2, 4, 8):
         rows = _rows_per_shard(cfg, n_dev)
@@ -153,6 +229,30 @@ def main():
                 f"balance {t_mean/t_max:.3f}  eff={eff:.3f}",
                 flush=True,
             )
+
+    for n_dev in (2, 4, 8):
+      for interleaved in (False, True):
+        t_shards, comm_s, mbytes = exchange_run(n_dev, interleaved)
+        t_max = max(t_shards)
+        t_tot = t_max + comm_s
+        eff = t1 / (n_dev * t_tot)
+        kind = "interleaved" if interleaved else "contiguous"
+        results["runs"].append({
+            "n_dev": n_dev, "assignment": f"exchange-{kind}",
+            "shard_ms": [round(t * 1e3, 2) for t in t_shards],
+            "modeled_ici_ms": round(comm_s * 1e3, 2),
+            "ici_gbps_assumed": ICI_GBPS,
+            "max_send_bytes": int(mbytes),
+            "projected_ms_per_frame": round(t_tot * 1e3, 2),
+            "balance": round(sum(t_shards) / len(t_shards) / t_max, 3),
+            "projected_tiles_per_s": round(cfg.num_tiles / t_tot, 1),
+            "efficiency": round(eff, 3),
+        })
+        print(
+            f"n_dev={n_dev} exchange     max {t_max*1e3:8.2f} ms "
+            f"+ici {comm_s*1e3:5.2f}  eff={eff:.3f}",
+            flush=True,
+        )
 
     out_path = os.path.join(
         os.path.dirname(__file__), "..", "SCALING.json"

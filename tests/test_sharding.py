@@ -233,14 +233,18 @@ def test_exchange_sharded_matches_single_chip():
     img_ref = np.asarray(render(scene_d, view, proj, cam_pos, cfg, backend="tile"))
 
     for n_dev in (2, 4):
-        mesh = make_mesh(n_dev)
-        scene_s = shard_scene_splats(scene, mesh)
-        fn = make_sharded_render_fn(
-            mesh, cfg, use_pallas=False, shard_splats=True, exchange=True
-        )
-        img = np.asarray(fn(scene_s, view, proj, cam_pos))
-        np.testing.assert_allclose(img, img_ref, atol=1e-5,
-                                   err_msg=f"n_dev={n_dev}")
+        for interleaved in (False, True):
+            mesh = make_mesh(n_dev)
+            scene_s = shard_scene_splats(scene, mesh)
+            fn = make_sharded_render_fn(
+                mesh, cfg, use_pallas=False, shard_splats=True,
+                exchange=True, interleaved=interleaved,
+            )
+            img = np.asarray(fn(scene_s, view, proj, cam_pos))
+            np.testing.assert_allclose(
+                img, img_ref, atol=1e-5,
+                err_msg=f"n_dev={n_dev} interleaved={interleaved}",
+            )
 
 
 def test_exchange_sharded_grads_match():
