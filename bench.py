@@ -97,7 +97,7 @@ def main():
         # per-scene setup cost any scene-static renderer pays once.
         from gaussiansplattingviewer_tpu.ops.autotune import autotune
 
-        cfg = autotune(scene, [view], [proj], [cam_pos], cfg)
+        cfg = autotune(scene, [view], [proj], [cam_pos], cfg, probe=True)
         print(
             f"# autotuned: k1={cfg.dense_small_slots} "
             f"ladder={cfg.pool_ladder} huge={cfg.pool_huge_entries} "

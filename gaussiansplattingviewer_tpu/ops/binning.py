@@ -66,10 +66,18 @@ COL_X0, COL_Y0, COL_W, COL_COUNT = 12, 13, 14, 15
 GRAD_WIDTH = COL_OPACITY + 1
 
 
-# Chunk granularity of the Pallas blend kernels (128 f32 = one TPU lane
-# tile).  Segments are stored compactly; kernels read aligned windows of
-# this size around each segment and mask the overhang.
+# Alignment granularity of the Pallas blend kernels' windows (128 f32 =
+# one TPU lane tile).  Segments are stored compactly; kernels read
+# SEGMENT_ALIGN-aligned windows of KERNEL_CHUNK rows around each segment
+# and mask the overhang; TABLE_PAD tail rows keep the last window in
+# bounds.
 SEGMENT_ALIGN = 128
+# rows per kernel inner iteration.  256 was measured NET SLOWER at 1M
+# splats/1080p (180.8 vs 175.5 ms/frame): the triangular prefix matmuls
+# cost O(S^2) per chunk, so doubling S doubles MXU work per row and eats
+# the per-chunk overhead saving.
+KERNEL_CHUNK = 128
+TABLE_PAD = 2 * KERNEL_CHUNK
 
 
 @jax.tree_util.register_dataclass
@@ -679,7 +687,7 @@ def bin_splats(
         big_pos,
     )
     table = jnp.concatenate(
-        [table, jnp.zeros((SEGMENT_ALIGN, TABLE_WIDTH), jnp.float32)], axis=0
+        [table, jnp.zeros((TABLE_PAD, TABLE_WIDTH), jnp.float32)], axis=0
     )
 
     # one count per affected splat (a splat can both hit the static bbox

@@ -27,13 +27,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
 from gaussiansplattingviewer_tpu.ops import binning
-from gaussiansplattingviewer_tpu.ops.binning import SEGMENT_ALIGN, TABLE_WIDTH
+from gaussiansplattingviewer_tpu.ops.binning import (
+    KERNEL_CHUNK,
+    SEGMENT_ALIGN,
+    TABLE_WIDTH,
+)
 from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
     _exclusive_cumprod_lanes,
     _tri_matmul_f32,
 )
 
-CHUNK = SEGMENT_ALIGN
+CHUNK = KERNEL_CHUNK  # see tile_raster_fwd
 N_BUF = 2
 
 
@@ -73,7 +77,7 @@ def _bwd_kernel(
     p = cfg.tile_size * cfg.tile_size
     start = starts_ref[t]
     end = start + counts_ref[t]
-    base = (start // CHUNK) * CHUNK  # aligned window start (compact table)
+    base = (start // SEGMENT_ALIGN) * SEGMENT_ALIGN  # aligned window start
     num_chunks = jnp.where(end > start, pl.cdiv(end - base, CHUNK), 0)
     mode = int(cfg.mode)
     b = binning
@@ -114,7 +118,7 @@ def _bwd_kernel(
     def get_dma(slot, chunk_idx, tile_base=None):
         offset = pl.multiple_of(
             (base if tile_base is None else tile_base) + chunk_idx * CHUNK,
-            CHUNK,
+            SEGMENT_ALIGN,
         )
         return pltpu.make_async_copy(
             table_ref.at[:, pl.ds(offset, CHUNK)],
@@ -126,7 +130,7 @@ def _bwd_kernel(
         # adjacent tiles share boundary blocks of the compact layout, so
         # gradient writes are read-modify-write (the grid is sequential on
         # a single TensorCore, so the neighbor's write has completed)
-        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
+        offset = pl.multiple_of(base + chunk_idx * CHUNK, SEGMENT_ALIGN)
         return pltpu.make_async_copy(
             gtable_ref.at[:, pl.ds(offset, CHUNK)],
             gprev_scratch,
@@ -138,7 +142,7 @@ def _bwd_kernel(
         # ci % N_BUF while chunk ci+1 computes into the other slot; the
         # synchronous put.wait() here used to stall the loop on every HBM
         # write-back
-        offset = pl.multiple_of(base + chunk_idx * CHUNK, CHUNK)
+        offset = pl.multiple_of(base + chunk_idx * CHUNK, SEGMENT_ALIGN)
         slot = jax.lax.rem(chunk_idx, N_BUF)
         return pltpu.make_async_copy(
             gscratch.at[slot],
@@ -338,7 +342,10 @@ def _bwd_kernel(
 
         @pl.when(nend > nstart)
         def _():
-            get_dma(0, 0, tile_base=(nstart // CHUNK) * CHUNK).start()
+            get_dma(
+                0, 0,
+                tile_base=(nstart // SEGMENT_ALIGN) * SEGMENT_ALIGN,
+            ).start()
 
     # drain the (up to N_BUF) outstanding gradient puts before the next
     # grid step: its boundary RMW may read blocks this tile just wrote

@@ -34,9 +34,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
 from gaussiansplattingviewer_tpu.ops import binning
-from gaussiansplattingviewer_tpu.ops.binning import SEGMENT_ALIGN, TABLE_WIDTH
+from gaussiansplattingviewer_tpu.ops.binning import (
+    KERNEL_CHUNK,
+    SEGMENT_ALIGN,
+    TABLE_WIDTH,
+)
 
-CHUNK = SEGMENT_ALIGN  # 128 splats per inner iteration (one lane tile)
+# splats per inner iteration; windows stay SEGMENT_ALIGN-aligned (the
+# compact table's guarantee) and binning's TABLE_PAD keeps the last
+# window in bounds.  256 (2 lane tiles) halves per-chunk loop/DMA
+# overhead vs 128 at the cost of 2x MACs/row in the prefix matmuls (the
+# MXU has headroom).
+CHUNK = KERNEL_CHUNK
 N_BUF = 2  # double buffering
 
 
@@ -160,7 +169,7 @@ def _fwd_kernel(
     end = start + counts_ref[t]
     # segments are compact: stream lane-ALIGNED windows around the segment
     # and mask rows outside [start, end)
-    base = (start // CHUNK) * CHUNK
+    base = (start // SEGMENT_ALIGN) * SEGMENT_ALIGN
     num_chunks = jnp.where(end > start, pl.cdiv(end - base, CHUNK), 0)
 
     # pixel-center coordinates of this tile's block, pixels on sublanes
@@ -176,7 +185,7 @@ def _fwd_kernel(
     def get_dma(slot, chunk_idx, tile_base=None):
         offset = pl.multiple_of(
             (base if tile_base is None else tile_base) + chunk_idx * CHUNK,
-            CHUNK,
+            SEGMENT_ALIGN,
         )
         return pltpu.make_async_copy(
             table_ref.at[:, pl.ds(offset, CHUNK)],
@@ -234,7 +243,10 @@ def _fwd_kernel(
 
         @pl.when(nend > nstart)
         def _():
-            get_dma(0, 0, tile_base=(nstart // CHUNK) * CHUNK).start()
+            get_dma(
+                0, 0,
+                tile_base=(nstart // SEGMENT_ALIGN) * SEGMENT_ALIGN,
+            ).start()
 
     out_ref[0, :, 0:3] = rgb
     out_ref[0, :, 3:4] = trans

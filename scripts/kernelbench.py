@@ -98,7 +98,7 @@ def main():
 
     # fold column-extraction cost: sort with 9 payload columns taken from
     # AoS columns vs SoA rows (keys identical)
-    cap = table.shape[0] - binning.SEGMENT_ALIGN
+    cap = table.shape[0] - binning.TABLE_PAD
     perm = jax.device_put(
         np.random.default_rng(0).permutation(cap).astype(np.int32)
     )
