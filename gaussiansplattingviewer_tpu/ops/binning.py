@@ -273,7 +273,7 @@ def _gather_table_rows_fwd(levels, pack, rows_trunc, perm, big_pos):
 
 
 def _gather_table_rows_bwd(levels, res, g):
-    k1, pools = levels
+    k1, pools, fold_bf16 = levels
     n, perm, big_pos = res
     cap = perm.shape[0]
     cap_mat = g.shape[0]
@@ -282,14 +282,22 @@ def _gather_table_rows_bwd(levels, res, g):
     # so the sort carries 9 payload columns, not 16
     width = GRAD_WIDTH
     cols = [g[:, j] for j in range(width)]
+    if fold_bf16:
+        # halve the sorted payload bytes; one bf16 rounding (~0.4% rel)
+        # per duplicate gradient, summed in f32 after the sort
+        # (cfg.grad_fold_bf16 — a speed/precision knob, off by default)
+        cols = [c.astype(jnp.bfloat16) for c in cols]
+    dtype = cols[0].dtype
     if cap > cap_mat:
         # budget-truncated sorted slots were never materialized: zero grad
-        pad = jnp.zeros((cap - cap_mat,), g.dtype)
+        pad = jnp.zeros((cap - cap_mat,), dtype)
         cols = [jnp.concatenate([c, pad]) for c in cols]
     # perm is a permutation of arange(cap): sorting by it as the key puts
     # payload row j at flat slot j — no scatter, no inverse permutation
     sorted_ops = jax.lax.sort((perm, *cols), num_keys=1)
-    g_by_flat = jnp.stack(sorted_ops[1:], axis=0).T  # (cap, W) flat order
+    g_by_flat = jnp.stack(sorted_ops[1:], axis=0).T.astype(
+        jnp.float32
+    )  # (cap, W) flat order
     g1 = g_by_flat[: n * k1].reshape(k1, n, width).sum(axis=0)
     total_pool = sum(c for _, c in pools)
     if total_pool > 0:
@@ -680,7 +688,7 @@ def bin_splats(
 
     rows_trunc = rows_sorted[:cap_mat]
     table = _gather_table_rows(
-        (k1, tuple(zip(kxs, caps))),
+        (k1, tuple(zip(kxs, caps)), bool(cfg.grad_fold_bf16)),
         table_src,
         rows_trunc,
         perm,
