@@ -72,11 +72,14 @@ GRAD_WIDTH = COL_OPACITY + 1
 # and mask the overhang; TABLE_PAD tail rows keep the last window in
 # bounds.
 SEGMENT_ALIGN = 128
-# rows per kernel inner iteration.  256 was measured NET SLOWER at 1M
-# splats/1080p (180.8 vs 175.5 ms/frame): the triangular prefix matmuls
-# cost O(S^2) per chunk, so doubling S doubles MXU work per row and eats
-# the per-chunk overhead saving.
-KERNEL_CHUNK = 128
+# rows per kernel inner iteration (one DMA + one loop step).  The prefix
+# scans inside the kernels stay SCAN_BLOCK=128 lanes wide — widening THEM
+# to 256 was measured NET SLOWER (180.8 vs 175.5 ms/frame; the triangular
+# prefix matmuls cost O(S^2) per chunk) — but streaming 2 scan blocks per
+# loop iteration halves the fixed per-iteration cost (DMA issue/wait,
+# while_loop condition, bookkeeping) at unchanged MXU work.
+KERNEL_CHUNK = 256
+SCAN_BLOCK = 128
 TABLE_PAD = 2 * KERNEL_CHUNK
 
 

@@ -29,6 +29,7 @@ from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
 from gaussiansplattingviewer_tpu.ops import binning
 from gaussiansplattingviewer_tpu.ops.binning import (
     KERNEL_CHUNK,
+    SCAN_BLOCK,
     SEGMENT_ALIGN,
     TABLE_WIDTH,
 )
@@ -50,6 +51,146 @@ def _inclusive_cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
     ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     tri_incl = (ri <= ci).astype(jnp.float32)  # [j, i] = 1 iff j <= i
     return _tri_matmul_f32(x, tri_incl)
+
+
+def _block_grads(
+    rows, live, gscratch, slot, bs, be, trans, a_dot,
+    px, py, ox, oy, basis, g_rgb, g_trans, out_trans, gdot_out,
+    cfg: RenderConfig,
+):
+    """Gradient math for one (16, SCAN_BLOCK) block: recompute the forward
+    alpha/transmittance, emit per-row gradients into gscratch[slot, :, bs:be],
+    and return the chained (trans, a_dot) carries.
+
+    rows: (16, S) attribute block; live: (1, S); trans/a_dot: (P, 1).
+    """
+    b = binning
+    mode = int(cfg.mode)
+    cx = rows[b.COL_CX : b.COL_CX + 1, :] - ox  # tile-local frame
+    cy = rows[b.COL_CY : b.COL_CY + 1, :] - oy
+    ca = rows[b.COL_A : b.COL_A + 1, :]
+    cb = rows[b.COL_B : b.COL_B + 1, :]
+    cc = rows[b.COL_C : b.COL_C + 1, :]
+    op = rows[b.COL_OPACITY : b.COL_OPACITY + 1, :]
+    rx = rows[b.COL_RX : b.COL_RX + 1, :]
+    ry = rows[b.COL_RY : b.COL_RY + 1, :]
+    colors = rows[b.COL_R : b.COL_BCH + 1, :]  # (3, S)
+
+    dx = px - cx  # (P, S)
+    dy = py - cy
+    power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
+    in_rect = (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry) & live
+
+    if mode == RenderMode.BILLBOARD:
+        alpha = jnp.where(in_rect, 1.0, 0.0)
+        gauss = jnp.ones_like(alpha)
+        unclamped = jnp.zeros_like(in_rect)
+    else:
+        gauss = jnp.exp(power)
+        raw = op * gauss
+        alpha = jnp.minimum(cfg.alpha_clamp, raw)
+        keep = in_rect & (power <= 0.0) & (alpha >= cfg.alpha_min)
+        alpha = jnp.where(keep, alpha, 0.0)
+        if mode in (RenderMode.FLAT_BALL, RenderMode.GAUSSIAN_BALL):
+            alpha = jnp.where(
+                keep & (alpha > cfg.ball_threshold), 1.0, 0.0
+            )
+            unclamped = jnp.zeros_like(keep)
+        else:
+            unclamped = keep & (raw < cfg.alpha_clamp)
+
+    one_m = 1.0 - alpha
+    prefix = _exclusive_cumprod_lanes(one_m)
+    t_i = prefix * trans  # (P, S)
+    w = alpha * t_i
+
+    # g . c_i : (P, 3) x (3, S) on the MXU
+    g_dot_c = jax.lax.dot_general(
+        g_rgb,
+        colors,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    u = w * g_dot_c
+    a_dot_inc = a_dot + _inclusive_cumsum_lanes(u)  # (P, S)
+
+    one_m_safe = jnp.maximum(one_m, 1.0 - cfg.alpha_clamp)
+    dl_da = (
+        t_i * g_dot_c
+        - (gdot_out - a_dot_inc) / one_m_safe
+        - g_trans * out_trans / one_m_safe
+    )
+    dl_da = jnp.where(alpha > 0.0, dl_da, 0.0)
+
+    zeros_blk = jnp.zeros((TABLE_WIDTH, SCAN_BLOCK), jnp.float32)
+    if mode in (
+        RenderMode.BILLBOARD,
+        RenderMode.FLAT_BALL,
+        RenderMode.GAUSSIAN_BALL,
+    ):
+        w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
+        g_col = jax.lax.dot_general(
+            w_c,
+            g_rgb,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, 3)
+        gscratch[slot, :, bs:be] = zeros_blk
+        gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = jnp.transpose(
+            g_col, (1, 0)
+        )
+    else:
+        d_power = jnp.where(unclamped, dl_da * op * gauss, 0.0)
+        # All six pixel-reductions (opacity, conic x3, center x2) are
+        # moments of d_power against the constant polynomial basis:
+        # ONE (8, P) x (P, S) MXU matmul replaces ~12 full-block VPU
+        # multiply+reduce passes.  dx = px - cx, so e.g.
+        #   sum_p d_power dx^2 = Mxx - 2 cx Mx + cx^2 M0
+        # with M* = sum_p d_power * basis_*; tile-local coords keep
+        # these recombinations far from f32 cancellation.
+        m = jax.lax.dot_general(
+            basis,
+            d_power,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (8, S)
+        m0 = m[0:1]
+        sx = m[1:2] - cx * m0  # sum d_power * dx
+        sy = m[2:3] - cy * m0
+        sxx = m[3:4] - cx * (2.0 * m[1:2] - cx * m0)
+        sxy = m[4:5] - cx * m[2:3] - cy * m[1:2] + cx * cy * m0
+        syy = m[5:6] - cy * (2.0 * m[2:3] - cy * m0)
+        # d_power = unclamped * dl_da * op * gauss and op is constant
+        # along pixels, so g_op = sum(unclamped * dl_da * gauss) = M0/op
+        g_op = jnp.where(op > 0.0, m0 / jnp.maximum(op, 1e-20), 0.0)
+        g_ca = -0.5 * sxx
+        g_cb = -sxy
+        g_cc = -0.5 * syy
+        g_cx = ca * sx + cb * sy
+        g_cy = cc * sy + cb * sx
+        # (S, P) x (P, 3) -> per-splat color grads, on the MXU
+        g_col = jax.lax.dot_general(
+            w,
+            g_rgb,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S, 3)
+
+        gscratch[slot, :, bs:be] = zeros_blk
+        gscratch[slot, b.COL_CX : b.COL_CX + 1, bs:be] = g_cx
+        gscratch[slot, b.COL_CY : b.COL_CY + 1, bs:be] = g_cy
+        gscratch[slot, b.COL_A : b.COL_A + 1, bs:be] = g_ca
+        gscratch[slot, b.COL_B : b.COL_B + 1, bs:be] = g_cb
+        gscratch[slot, b.COL_C : b.COL_C + 1, bs:be] = g_cc
+        gscratch[slot, b.COL_OPACITY : b.COL_OPACITY + 1, bs:be] = g_op
+        gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = jnp.transpose(
+            g_col, (1, 0)
+        )
+
+    trans = trans * prefix[:, -1:] * one_m[:, -1:]
+    a_dot = a_dot_inc[:, -1:]
+    return trans, a_dot
 
 
 def _bwd_kernel(
@@ -189,142 +330,29 @@ def _bwd_kernel(
         def _():
             get_gprev_dma(ci).start()
 
-        rows = scratch[slot]  # (16, CHUNK)
-        col = base + ci * CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK), 1
-        )
-        live = (col >= start) & (col < end)
-
-        cx = rows[b.COL_CX : b.COL_CX + 1, :] - ox  # tile-local frame
-        cy = rows[b.COL_CY : b.COL_CY + 1, :] - oy
-        ca = rows[b.COL_A : b.COL_A + 1, :]
-        cb = rows[b.COL_B : b.COL_B + 1, :]
-        cc = rows[b.COL_C : b.COL_C + 1, :]
-        op = rows[b.COL_OPACITY : b.COL_OPACITY + 1, :]
-        rx = rows[b.COL_RX : b.COL_RX + 1, :]
-        ry = rows[b.COL_RY : b.COL_RY + 1, :]
-        colors = rows[b.COL_R : b.COL_BCH + 1, :]  # (3, S)
-
-        dx = px - cx  # (P, S)
-        dy = py - cy
-        power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
-        in_rect = (jnp.abs(dx) <= rx) & (jnp.abs(dy) <= ry) & live
-
-        if mode == RenderMode.BILLBOARD:
-            alpha = jnp.where(in_rect, 1.0, 0.0)
-            gauss = jnp.ones_like(alpha)
-            unclamped = jnp.zeros_like(in_rect)
-        else:
-            gauss = jnp.exp(power)
-            raw = op * gauss
-            alpha = jnp.minimum(cfg.alpha_clamp, raw)
-            keep = in_rect & (power <= 0.0) & (alpha >= cfg.alpha_min)
-            alpha = jnp.where(keep, alpha, 0.0)
-            if mode in (RenderMode.FLAT_BALL, RenderMode.GAUSSIAN_BALL):
-                alpha = jnp.where(
-                    keep & (alpha > cfg.ball_threshold), 1.0, 0.0
-                )
-                unclamped = jnp.zeros_like(keep)
-            else:
-                unclamped = keep & (raw < cfg.alpha_clamp)
-
-        one_m = 1.0 - alpha
-        prefix = _exclusive_cumprod_lanes(one_m)
-        t_i = prefix * trans  # (P, S)
-        w = alpha * t_i
-
-        # g . c_i : (P, 3) x (3, S) on the MXU
-        g_dot_c = jax.lax.dot_general(
-            g_rgb,
-            colors,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        u = w * g_dot_c
-        a_dot_inc = a_dot + _inclusive_cumsum_lanes(u)  # (P, S)
-
-        one_m_safe = jnp.maximum(one_m, 1.0 - cfg.alpha_clamp)
-        dl_da = (
-            t_i * g_dot_c
-            - (gdot_out - a_dot_inc) / one_m_safe
-            - g_trans * out_trans / one_m_safe
-        )
-        dl_da = jnp.where(alpha > 0.0, dl_da, 0.0)
-
-        if mode in (
-            RenderMode.BILLBOARD,
-            RenderMode.FLAT_BALL,
-            RenderMode.GAUSSIAN_BALL,
-        ):
-            w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
-            g_col = jax.lax.dot_general(
-                w_c,
-                g_rgb,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (S, 3)
-            gscratch[slot, :, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
-            gscratch[slot, b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(
-                g_col, (1, 0)
+        rows_chunk = scratch[slot]  # (16, CHUNK)
+        # each chunk is CHUNK // SCAN_BLOCK sequential 128-lane gradient
+        # blocks (prefix matmuls are O(S^2), see tile_raster_fwd); trans
+        # and a_dot chain across blocks exactly as across chunks
+        for bi in range(CHUNK // SCAN_BLOCK):
+            bs = bi * SCAN_BLOCK
+            be = bs + SCAN_BLOCK
+            rows = rows_chunk[:, bs:be]  # (16, S)
+            col = base + ci * CHUNK + bs + jax.lax.broadcasted_iota(
+                jnp.int32, (1, SCAN_BLOCK), 1
             )
-        else:
-            d_power = jnp.where(unclamped, dl_da * op * gauss, 0.0)
-            # All six pixel-reductions (opacity, conic x3, center x2) are
-            # moments of d_power against the constant polynomial basis:
-            # ONE (8, P) x (P, S) MXU matmul replaces ~12 full-block VPU
-            # multiply+reduce passes.  dx = px - cx, so e.g.
-            #   sum_p d_power dx^2 = Mxx - 2 cx Mx + cx^2 M0
-            # with M* = sum_p d_power * basis_*; tile-local coords keep
-            # these recombinations far from f32 cancellation.
-            m = jax.lax.dot_general(
-                basis,
-                d_power,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # (8, S)
-            m0 = m[0:1]
-            sx = m[1:2] - cx * m0  # sum d_power * dx
-            sy = m[2:3] - cy * m0
-            sxx = m[3:4] - cx * (2.0 * m[1:2] - cx * m0)
-            sxy = m[4:5] - cx * m[2:3] - cy * m[1:2] + cx * cy * m0
-            syy = m[5:6] - cy * (2.0 * m[2:3] - cy * m0)
-            # d_power = unclamped * dl_da * op * gauss and op is constant
-            # along pixels, so g_op = sum(unclamped * dl_da * gauss) = M0/op
-            g_op = jnp.where(op > 0.0, m0 / jnp.maximum(op, 1e-20), 0.0)
-            g_ca = -0.5 * sxx
-            g_cb = -sxy
-            g_cc = -0.5 * syy
-            g_cx = ca * sx + cb * sy
-            g_cy = cc * sy + cb * sx
-            # (S, P) x (P, 3) -> per-splat color grads, on the MXU
-            g_col = jax.lax.dot_general(
-                w,
-                g_rgb,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )  # (S, 3)
-
-            gscratch[slot, :, :] = jnp.zeros((TABLE_WIDTH, CHUNK), jnp.float32)
-            gscratch[slot, b.COL_CX : b.COL_CX + 1, :] = g_cx
-            gscratch[slot, b.COL_CY : b.COL_CY + 1, :] = g_cy
-            gscratch[slot, b.COL_A : b.COL_A + 1, :] = g_ca
-            gscratch[slot, b.COL_B : b.COL_B + 1, :] = g_cb
-            gscratch[slot, b.COL_C : b.COL_C + 1, :] = g_cc
-            gscratch[slot, b.COL_OPACITY : b.COL_OPACITY + 1, :] = g_op
-            gscratch[slot, b.COL_R : b.COL_BCH + 1, :] = jnp.transpose(
-                g_col, (1, 0)
+            live = (col >= start) & (col < end)
+            trans, a_dot = _block_grads(
+                rows, live, gscratch, slot, bs, be, trans, a_dot,
+                px, py, ox, oy, basis, g_rgb, g_trans, out_trans,
+                gdot_out, cfg,
             )
-
         @pl.when(boundary)
         def _():
             get_gprev_dma(ci).wait()
             gscratch[slot, :, :] = gscratch[slot, :, :] + gprev_scratch[:, :]
 
         put_dma(ci).start()
-
-        trans = trans * prefix[:, -1:] * one_m[:, -1:]
-        a_dot = a_dot_inc[:, -1:]
         return ci + 1, trans, a_dot
 
     init = (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))

@@ -36,15 +36,17 @@ from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
 from gaussiansplattingviewer_tpu.ops import binning
 from gaussiansplattingviewer_tpu.ops.binning import (
     KERNEL_CHUNK,
+    SCAN_BLOCK,
     SEGMENT_ALIGN,
     TABLE_WIDTH,
 )
 
 # splats per inner iteration; windows stay SEGMENT_ALIGN-aligned (the
 # compact table's guarantee) and binning's TABLE_PAD keeps the last
-# window in bounds.  256 (2 lane tiles) halves per-chunk loop/DMA
-# overhead vs 128 at the cost of 2x MACs/row in the prefix matmuls (the
-# MXU has headroom).
+# window in bounds.  Each chunk is processed as CHUNK // SCAN_BLOCK
+# sequential 128-lane blend blocks: the prefix-product matmul cost is
+# O(S^2) in the scan width, so the scans stay at 128 lanes while the
+# DMA/loop granularity is wider (see binning.KERNEL_CHUNK).
 CHUNK = KERNEL_CHUNK
 N_BUF = 2  # double buffering
 
@@ -218,11 +220,16 @@ def _fwd_kernel(
 
         get_dma(slot, ci).wait()
         rows = scratch[slot]  # (16, CHUNK)
-        col = base + ci * CHUNK + jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK), 1
-        )
-        live = (col >= start) & (col < end)
-        rgb, trans = _chunk_blend(rows, px, py, rgb, trans, live, cfg)
+        for bi in range(CHUNK // SCAN_BLOCK):
+            col = base + ci * CHUNK + bi * SCAN_BLOCK
+            col = col + jax.lax.broadcasted_iota(
+                jnp.int32, (1, SCAN_BLOCK), 1
+            )
+            live = (col >= start) & (col < end)
+            rgb, trans = _chunk_blend(
+                rows[:, bi * SCAN_BLOCK : (bi + 1) * SCAN_BLOCK],
+                px, py, rgb, trans, live, cfg,
+            )
         return ci + 1, rgb, trans
 
     rgb = jnp.zeros((p, 3), jnp.float32)

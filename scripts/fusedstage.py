@@ -1,0 +1,141 @@
+"""One-off: bisect the FUSED train step (bench.py's lax.scan configuration).
+
+Separate-jit stage timings (gradstage.py) mischarge costs on this backend:
+outputs that XLA would fuse into the SGD update get materialized at program
+boundaries.  This script times six fused lax.scan variants, each carrying a
+different pipeline suffix as the trained variable, so successive deltas
+attribute cost WITHIN the single-program setting the bench measures:
+
+  full       scene -> project -> bin -> blend -> img loss   (== bench step)
+  splat      splats (projected) as the variable: bin -> blend -> img loss
+  table      binned table as the variable: blend -> img loss
+  *_fwd      forward-only scans of the same prefixes
+
+  blend fwd  = table_fwd            blend bwd = table - table_fwd
+  bin fwd    = splat_fwd - table_fwd
+  fold(+pack vjp) = (splat - splat_fwd) - (table - table_fwd)
+  proj fwd   = full_fwd - splat_fwd  proj bwd  = (full-full_fwd) - (splat-splat_fwd)
+"""
+
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingviewer_tpu.config import RenderConfig
+    from gaussiansplattingviewer_tpu.models import random_scene
+    from gaussiansplattingviewer_tpu.ops import binning
+    from gaussiansplattingviewer_tpu.ops.autotune import autotune
+    from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
+    from gaussiansplattingviewer_tpu.ops.projection import project
+    from gaussiansplattingviewer_tpu.ops.raster_tiles import _tiles_to_image
+    from gaussiansplattingviewer_tpu.utils import transforms as tf
+    from gaussiansplattingviewer_tpu.utils.camera import Camera
+
+    ITERS = 8
+    cfg = RenderConfig(width=1920, height=1080)
+    scene = random_scene(
+        1_000_000, sh_degree=3, seed=0, extent=4.0, mean_scale=0.015
+    ).pad_to_multiple(1024).to_device()
+    cam = Camera(h=cfg.height, w=cfg.width)
+    cam.fovy = 1.0
+    eye = np.array([0, 0, 9.0])
+    view = jnp.asarray(tf.look_at(eye, np.zeros(3), [0, -1, 0]))
+    proj = jnp.asarray(cam.get_project_matrix())
+    cam_pos = jnp.asarray(eye.astype(np.float32))
+    cfg = autotune(scene, [view], [proj], [cam_pos], cfg, probe=True)
+    print(f"tuned: k1={cfg.dense_small_slots} ladder={cfg.pool_ladder} "
+          f"rows={cfg.table_budget_rows}", flush=True)
+
+    lr = 1e-12
+
+    def img_loss_from_tiles(rgb_tiles, trans_tiles):
+        img, trans = _tiles_to_image(rgb_tiles, trans_tiles, cfg)
+        img = img + cfg.background * trans[..., None]
+        return jnp.sum(img * img)
+
+    def from_table(tb, starts, counts):
+        rgb_t, tr_t = blend_tiles(
+            cfg, True, cfg.tiles_y, 1, tb, starts, counts, jnp.int32(0)
+        )
+        return img_loss_from_tiles(rgb_t, tr_t)
+
+    def from_splats(sp):
+        binned = binning.bin_splats(sp, cfg)
+        return from_table(binned.table, binned.tile_starts, binned.tile_counts)
+
+    def from_scene(sc):
+        return from_splats(project(sc, view, proj, cam_pos, cfg))
+
+    splats0 = jax.jit(
+        lambda sc: project(sc, view, proj, cam_pos, cfg)
+    )(scene)
+    binned0 = jax.jit(
+        lambda sp: binning.bin_splats(sp, cfg)
+    )(splats0)
+    table0, starts0, counts0 = (
+        binned0.table, binned0.tile_starts, binned0.tile_counts,
+    )
+
+    def scan_train(loss_fn):
+        def step(v, _):
+            l, g = jax.value_and_grad(loss_fn)(v)
+            v = jax.tree.map(lambda p, gg: p - lr * gg, v, g)
+            return v, l
+
+        def run(v0):
+            _, ls = jax.lax.scan(step, v0, None, length=ITERS)
+            return ls
+
+        return jax.jit(run)
+
+    def scan_fwd(loss_fn):
+        def step(c, _):
+            return c, loss_fn(c)
+
+        def run(v0):
+            _, ls = jax.lax.scan(step, v0, None, length=ITERS)
+            return ls
+
+        return jax.jit(run)
+
+    def hard_sync(out):
+        leaf = jax.tree.leaves(out)[0]
+        np.asarray(np.asarray(leaf).reshape(-1)[:1])
+
+    def timeit(fn, *a):
+        out = fn(*a)
+        hard_sync(out)
+        t0 = time.perf_counter()
+        out = fn(*a)
+        hard_sync(out)
+        return (time.perf_counter() - t0) / ITERS * 1000
+
+    results = {}
+    cases = [
+        ("table_fwd", scan_fwd(lambda t: from_table(t, starts0, counts0)), table0),
+        ("table", scan_train(lambda t: from_table(t, starts0, counts0)), table0),
+        ("splat_fwd", scan_fwd(from_splats), splats0),
+        ("splat", scan_train(from_splats), splats0),
+        ("full_fwd", scan_fwd(from_scene), scene),
+        ("full", scan_train(from_scene), scene),
+    ]
+    for name, fn, arg in cases:
+        results[name] = t = timeit(fn, arg)
+        print(f"{name:10s} {t:7.1f} ms/iter", flush=True)
+
+    r = results
+    print(f"\nblend fwd      {r['table_fwd']:7.1f}")
+    print(f"blend bwd      {r['table'] - r['table_fwd']:7.1f}")
+    print(f"bin fwd        {r['splat_fwd'] - r['table_fwd']:7.1f}")
+    print(f"fold+pack vjp  {(r['splat'] - r['splat_fwd']) - (r['table'] - r['table_fwd']):7.1f}")
+    print(f"proj fwd       {r['full_fwd'] - r['splat_fwd']:7.1f}")
+    print(f"proj bwd       {(r['full'] - r['full_fwd']) - (r['splat'] - r['splat_fwd']):7.1f}")
+
+
+if __name__ == "__main__":
+    main()
