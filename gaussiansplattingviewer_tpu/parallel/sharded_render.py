@@ -30,7 +30,6 @@ from gaussiansplattingviewer_tpu.models.gaussians import GaussianData
 from gaussiansplattingviewer_tpu.ops import binning
 from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
 from gaussiansplattingviewer_tpu.ops.compaction import (
-    compact_by_mask,
     compact_splats,
     pack_splats,
     unpack_splats,
@@ -47,56 +46,197 @@ def _round_budget(b: int, n: int) -> int:
     return min(n, max(-(-b // 1024) * 1024, 4096))
 
 
+_EXCHANGE_DENSE_SLOTS = 4  # dests covered without the pool (spans <= 4 bands)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _exchange_gather(levels, pack12, ids_take, perm, key_sorted, starts,
+                     pool_pos):
+    """pack12[ids_take] — materialize the per-destination splat rows.
+
+    ``levels = (k_d, n_loc, kx, cap_pool, budget, n_shards)`` describes the
+    dest-slot layout (see _exchange_parts).  The VJP routes the
+    (n_shards, budget, 12) row gradients back to the n_loc source splats
+    without any scatter, mirroring binning._gather_table_rows: scatter the
+    taken grads into sorted-position order with ONE small gather (position
+    p was taken iff p - starts[key_sorted[p]] < budget), ONE key-value
+    sort by ``perm`` restores flat-slot order, then contiguous reshape
+    sums fold the dense slots and ``pool_pos`` routes the pool slots.
+    """
+    return pack12[ids_take]
+
+
+def _exchange_gather_fwd(levels, pack12, ids_take, perm, key_sorted, starts,
+                         pool_pos):
+    return pack12[ids_take], (perm, key_sorted, starts, pool_pos)
+
+
+def _exchange_gather_bwd(levels, res, g):
+    k_d, n_loc, kx, cap_pool, budget, n_shards = levels
+    perm, key_sorted, starts, pool_pos = res
+    cap = perm.shape[0]
+    width = g.shape[-1]
+    # sorted position -> (dest, rank-in-dest); taken iff rank < budget
+    pos = jnp.arange(cap, dtype=jnp.int32)
+    dest = jnp.minimum(key_sorted.astype(jnp.int32), n_shards)
+    rank = pos - starts[jnp.minimum(dest, n_shards - 1)]
+    taken = (dest < n_shards) & (rank < budget)
+    g_flat = jnp.concatenate(
+        [g.reshape(n_shards * budget, width),
+         jnp.zeros((1, width), g.dtype)], axis=0
+    )
+    idx = jnp.where(taken, dest * budget + rank, n_shards * budget)
+    g_sorted = g_flat[idx]  # (cap, 12) in sorted order
+    ops = (perm,) + tuple(g_sorted[:, j] for j in range(width))
+    sorted_ops = jax.lax.sort(ops, num_keys=1)
+    g_by_flat = jnp.stack(sorted_ops[1:], axis=0).T  # (cap, 12) flat order
+    g1 = g_by_flat[: n_loc * k_d].reshape(k_d, n_loc, width).sum(axis=0)
+    if kx > 0 and cap_pool > 0:
+        gp = (
+            g_by_flat[n_loc * k_d :]
+            .reshape(kx, cap_pool, width)
+            .sum(axis=0)
+        )
+        gp = jnp.concatenate([gp, jnp.zeros((1, width), g.dtype)], axis=0)
+        g1 = g1 + gp[jnp.minimum(pool_pos, cap_pool)]
+    return g1, None, None, None, None, None
+
+
+_exchange_gather.defvjp(_exchange_gather_fwd, _exchange_gather_bwd)
+
+
 def _exchange_parts(splats, cfg: RenderConfig, rows: int, n_shards: int,
                     exchange_budget_factor: float, row_stride: int = 1):
     """Send side of exchange mode: partition this chip's projected splats
     by destination tile-row owner.  Returns (rows (n_shards, budget, 12),
-    valid (n_shards, budget), kept (n_shards, budget)) — one all_to_all
-    away from every chip holding exactly the splats touching its rows.
-    Factored out so scripts/scaling.py can time one shard's send-side
-    compute standalone (collectives can't run single-device).
+    valid (n_shards, budget), dropped () i32) — one all_to_all away from
+    every chip holding exactly the splats touching its rows.  Factored out
+    so scripts/scaling.py can time one shard's send-side compute
+    standalone (collectives can't run single-device).
 
     row_stride == 1: chip d owns the contiguous band [d*rows, (d+1)*rows);
     row_stride == n_shards: chip d owns the interleaved rows {d + s*n} —
     the load-balanced assignment.  A splat goes to chip d iff its global
-    tile-row span [y0, y1] contains a row ≡ d (mod n): (d - y0) mod n <=
-    y1 - y0.  (rows is a static Python int so // lowers to multiply-shift,
-    not the bit-serial traced-divisor path, see binning._floordiv_small.)
+    tile-row span [y0, y1] contains a row ≡ d (mod n).
+
+    TPU-native partition (one sort, not n_shards compactions — the old
+    per-destination ``compact_by_mask`` loop cost n_shards · O(n_loc),
+    which grew the per-chip send cost with the shard count and capped
+    exchange-mode strong scaling):
+      1. every splat gets ``k_d`` dense destination SLOTS (slot j =
+         its j-th destination band; splats span 1-2 bands overwhelmingly);
+         splats spanning more bands draw a full-width pool entry
+         (n_shards - k_d extra slots) via one stable partition, exactly
+         like ops/binning's tiered duplicate expansion;
+      2. ONE stable sort by (dest, splat-id) orders all slots by
+         destination (sentinel dests sort to the tail);
+      3. searchsorted boundaries + a static (n_shards, budget) position
+         grid turn the segments into the fixed-shape all_to_all operand
+         with ONE row gather.
+    The gather's VJP (see _exchange_gather) folds row gradients back with
+    one sort — no scatter, so grads flow to the owning shard through the
+    reverse all_to_all with O(n_loc) local work.
     """
     n_loc = splats.valid.shape[0]
     _, y0g, _, hh, cnt, _ = binning.tile_bbox(splats, cfg)
     live = cnt > 0
     frac = min(1.0, rows / cfg.tiles_y * exchange_budget_factor)
     budget = _round_budget(int(n_loc * frac), n_loc)
+    sent = jnp.uint32(n_shards)
+
     if row_stride == 1:
         d0 = jnp.clip(y0g // rows, 0, n_shards - 1)
         d1 = jnp.clip((y0g + hh - 1) // rows, 0, n_shards - 1)
+        nd = jnp.where(live, d1 - d0 + 1, 0)
 
-        def dest_mask(d):
-            return live & (d0 <= d) & (d <= d1)
+        def dest_j(j):
+            return d0 + j
     else:
         assert row_stride == n_shards
-        span = hh - 1  # y1 - y0
+        nd = jnp.where(live, jnp.minimum(hh, n_shards), 0)
+        y0m = jnp.mod(y0g, n_shards)
 
-        def dest_mask(d):
-            return live & (jnp.mod(d - y0g, n_shards) <= span)
-    # pack ONCE; per-destination compaction then costs one row gather
-    # + one bool gather instead of seven per-leaf gathers
-    rows_all, valid_all = pack_splats(splats)
-    rows_all = rows_all[:, :12]  # drop the 4 spare columns on the wire
-    parts, vparts, keeps = [], [], []
-    for d in range(n_shards):
-        (rows_d, valid_d), kept_d, _ = compact_by_mask(
-            (rows_all, valid_all), dest_mask(d), budget
+        def dest_j(j):
+            d = y0m + j
+            return jnp.where(d >= n_shards, d - n_shards, d)
+
+    k_d = min(_EXCHANGE_DENSE_SLOTS, n_shards)
+    kx = n_shards - k_d
+    if kx > 0:
+        # stable partition: splats spanning > k_d bands claim a pool entry
+        need = nd > k_d
+        sel = jnp.argsort(
+            jnp.where(need, 0, 1).astype(jnp.int32), stable=True
         )
-        parts.append(rows_d)
-        vparts.append(valid_d)
-        keeps.append(kept_d)
-    return (
-        jnp.stack(parts, axis=0),
-        jnp.stack(vparts, axis=0),
-        jnp.stack(keeps, axis=0),
+        _, pos = jax.lax.sort_key_val(
+            sel, jnp.arange(n_loc, dtype=jnp.int32)
+        )
+        cap_pool = min(n_loc, max(n_loc // 8, 512))
+        in_pool = need & (pos < cap_pool)
+        dropped_pool = jnp.sum(need & ~in_pool)
+        pool_ids = sel[:cap_pool]
+        pool_pos = jnp.where(in_pool, pos, cap_pool)
+    else:
+        cap_pool = 0
+        dropped_pool = jnp.int32(0)
+        pool_ids = None
+        pool_pos = jnp.zeros((n_loc,), jnp.int32)
+
+    # slot-major keys: dense slot j covers dest_j for every splat; pool
+    # slot j covers dest_{k_d + j} for pool entries only
+    jj = jnp.arange(k_d, dtype=jnp.int32)[:, None]
+    keys_dense = jnp.where(
+        jj < nd[None, :], dest_j(jj).astype(jnp.uint32), sent
     )
+    ids_dense = jnp.broadcast_to(
+        jnp.arange(n_loc, dtype=jnp.int32)[None, :], (k_d, n_loc)
+    )
+    keys_parts = [keys_dense.reshape(-1)]
+    id_parts = [ids_dense.reshape(-1)]
+    if kx > 0 and cap_pool > 0:
+        jj = jnp.arange(kx, dtype=jnp.int32)[:, None] + k_d
+        nd_p = nd[pool_ids][None, :]
+        y0_p = (y0g if row_stride != 1 else d0)[pool_ids][None, :]
+        if row_stride == 1:
+            dpj = y0_p + jj
+        else:
+            dpj = jnp.mod(y0_p, n_shards) + jj
+            dpj = jnp.where(dpj >= n_shards, dpj - n_shards, dpj)
+        keys_pool = jnp.where(jj < nd_p, dpj.astype(jnp.uint32), sent)
+        ids_pool = jnp.broadcast_to(pool_ids[None, :], (kx, cap_pool))
+        keys_parts.append(keys_pool.reshape(-1))
+        id_parts.append(ids_pool.reshape(-1))
+    keys = jnp.concatenate(keys_parts) if len(keys_parts) > 1 else keys_parts[0]
+    src = jnp.concatenate(id_parts) if len(id_parts) > 1 else id_parts[0]
+    cap = keys.shape[0]
+
+    # (dest, splat-id) pairs are unique -> deterministic total order; per
+    # destination, splats arrive in original-id order (matches the old
+    # per-destination stable compaction)
+    key_sorted, src_sorted, perm = jax.lax.sort(
+        (keys, src, jnp.arange(cap, dtype=jnp.int32)), num_keys=2
+    )
+    starts = jnp.searchsorted(
+        key_sorted, jnp.arange(n_shards + 1, dtype=jnp.uint32), side="left"
+    ).astype(jnp.int32)
+    seg_len = jnp.diff(starts)
+    dropped = jnp.sum(jnp.maximum(seg_len - budget, 0)) + dropped_pool
+
+    jgrid = jnp.arange(budget, dtype=jnp.int32)[None, :]
+    posmat = starts[:-1, None] + jgrid  # (n_shards, budget)
+    valid_take = jgrid < seg_len[:, None]
+    ids_take = src_sorted[jnp.minimum(posmat, cap - 1)]
+
+    pack12 = pack_splats(splats)[0][:, :12]  # drop spare cols on the wire
+    rows12 = _exchange_gather(
+        (k_d, n_loc, kx, cap_pool, budget, n_shards),
+        pack12, ids_take, perm, key_sorted, starts, pool_pos,
+    )
+    # a row is live on the receiver iff it was a real segment entry AND
+    # the source splat was valid (pack zeroes invalid opacity; the valid
+    # bit rides separately)
+    valid = valid_take & splats.valid[ids_take]
+    return rows12, valid, dropped
 
 
 def _splats_from_received(rows_rx, valid_rx):
@@ -153,7 +293,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
 
     splats = project(scene, view, proj, cam_pos, cfg)
     if shard_splats and exchange:
-        stacked, vstacked, kept = _exchange_parts(
+        rows12, valid12, _ = _exchange_parts(
             splats, cfg, rows, n_shards, exchange_budget_factor, row_stride
         )
 
@@ -166,7 +306,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
             )
             return out.reshape((-1,) + out.shape[2:])
 
-        splats = _splats_from_received(a2a(stacked), a2a(vstacked) & a2a(kept))
+        splats = _splats_from_received(a2a(rows12), a2a(valid12))
     elif shard_splats:
         if gather_budget_factor is not None:
             # frustum-survivor compaction BEFORE the collective: the

@@ -99,6 +99,64 @@ def main():
             acc.append(jnp.sum(c[lvl1:]))
         return acc
 
+    def sort_fold_packed(perm, g_soa):
+        # bf16 payloads packed PAIRWISE into u32: 9 cols -> 5 sort operands
+        # (sort cost is dominated by operand count, see E vs F)
+        acc = stage_a(perm, g_soa)
+        u16s = [
+            jax.lax.bitcast_convert_type(
+                g_soa[j].astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            for j in range(width)
+        ]
+        u16s.append(jnp.zeros_like(u16s[0]))
+        packed = tuple(
+            u16s[2 * i] | (u16s[2 * i + 1] << jnp.uint32(16))
+            for i in range((width + 1) // 2)
+        )
+        sorted_ops = jax.lax.sort((perm,) + packed, num_keys=1)
+        cols = []
+        for p in sorted_ops[1:]:
+            for sh in (0, 16):
+                cols.append(
+                    jax.lax.bitcast_convert_type(
+                        ((p >> jnp.uint32(sh)) & jnp.uint32(0xFFFF)).astype(
+                            jnp.uint16
+                        ),
+                        jnp.bfloat16,
+                    ).astype(jnp.float32)
+                )
+        cols = cols[:width]
+        g_by_flat = jnp.stack(cols, axis=0).T
+        return acc + sums_from_flat(g_by_flat)
+
+    def sort_fold_packed_soa(perm, g_soa):
+        # packed sort + per-column level sums (no (cap, 9) stack/transpose)
+        acc = stage_a(perm, g_soa)
+        u16s = [
+            jax.lax.bitcast_convert_type(
+                g_soa[j].astype(jnp.bfloat16), jnp.uint16
+            ).astype(jnp.uint32)
+            for j in range(width)
+        ]
+        u16s.append(jnp.zeros_like(u16s[0]))
+        packed = tuple(
+            u16s[2 * i] | (u16s[2 * i + 1] << jnp.uint32(16))
+            for i in range((width + 1) // 2)
+        )
+        sorted_ops = jax.lax.sort((perm,) + packed, num_keys=1)
+        for p in sorted_ops[1:]:
+            for sh in (0, 16):
+                c = jax.lax.bitcast_convert_type(
+                    ((p >> jnp.uint32(sh)) & jnp.uint32(0xFFFF)).astype(
+                        jnp.uint16
+                    ),
+                    jnp.bfloat16,
+                ).astype(jnp.float32)
+                acc.append(jnp.sum(c[:lvl1].reshape(k1, n).sum(axis=0)))
+                acc.append(jnp.sum(c[lvl1:]))
+        return acc
+
     stages = [
         ("A inputs", jax.jit(stage_a)),
         ("B +invperm sort", jax.jit(stage_b)),
@@ -112,6 +170,8 @@ def main():
             lambda p, g: sort_fold(p, g, jnp.bfloat16))),
         ("G sort-carry f32 soa-sum", jax.jit(
             lambda p, g: sort_fold_soa(p, g, jnp.float32))),
+        ("H sort-carry bf16 packed", jax.jit(sort_fold_packed)),
+        ("I packed soa-sum", jax.jit(sort_fold_packed_soa)),
     ]
     base = None
     for name, fn in stages:

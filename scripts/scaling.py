@@ -180,7 +180,7 @@ def main():
                 np.concatenate([p[0][i] for p in parts], axis=0)
             )
             valid_rx = jnp.asarray(np.concatenate(
-                [p[1][i] & p[2][i] for p in parts], axis=0
+                [p[1][i] for p in parts], axis=0
             ))
             t_recv = bench(recv, rows_rx, valid_rx, jnp.int32(i))
             t_shards.append(t_send[i] + t_recv)

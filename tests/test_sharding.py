@@ -304,30 +304,37 @@ def test_exchange_sharded_matches_single_chip():
 
 def test_exchange_sharded_grads_match():
     """Gradients through the all_to_all exchange (its transpose is the
-    reverse all_to_all) must match the single-chip gradients."""
+    reverse all_to_all) must match the single-chip gradients — every
+    differentiable field, both row assignments."""
     from gaussiansplattingviewer_tpu.parallel import shard_scene_splats
 
     cfg = RenderConfig(width=64, height=64)
     scene = random_scene(256, sh_degree=0, seed=13, extent=2.0, mean_scale=0.07)
     scene_d, view, proj, cam_pos = _setup(cfg, scene)
     mesh = make_mesh(4)
-    fn = make_sharded_render_fn(
-        mesh, cfg, use_pallas=False, shard_splats=True, exchange=True
-    )
-
-    def loss_sh(sc):
-        return jnp.sum(fn(sc, view, proj, cam_pos) ** 2)
 
     def loss_ref(sc):
         return jnp.sum(render(sc, view, proj, cam_pos, cfg, backend="tile") ** 2)
 
-    g_sh = jax.grad(loss_sh)(shard_scene_splats(scene, mesh))
     g_ref = jax.grad(loss_ref)(scene_d)
-    for f in ("xyz", "opacity", "sh"):
-        a = np.asarray(getattr(g_ref, f))
-        b = np.asarray(getattr(g_sh, f))
-        scale = np.abs(a).max() + 1e-6
-        np.testing.assert_allclose(b, a, atol=3e-3 * scale, err_msg=f)
+    for interleaved in (False, True):
+        fn = make_sharded_render_fn(
+            mesh, cfg, use_pallas=False, shard_splats=True, exchange=True,
+            interleaved=interleaved,
+        )
+
+        def loss_sh(sc):
+            return jnp.sum(fn(sc, view, proj, cam_pos) ** 2)
+
+        g_sh = jax.grad(loss_sh)(shard_scene_splats(scene, mesh))
+        for f in ("xyz", "opacity", "sh", "scale", "rot"):
+            a = np.asarray(getattr(g_ref, f))
+            b = np.asarray(getattr(g_sh, f))
+            scale = np.abs(a).max() + 1e-6
+            np.testing.assert_allclose(
+                b, a, atol=3e-3 * scale,
+                err_msg=f"{f} interleaved={interleaved}",
+            )
 
 
 def test_exchange_train_step_runs():
