@@ -1,4 +1,10 @@
-from gaussiansplattingviewer_tpu.parallel.mesh import make_mesh, replicate_scene
+from gaussiansplattingviewer_tpu.parallel.mesh import (
+    initialize_distributed,
+    make_host_mesh,
+    make_mesh,
+    put_global,
+    replicate_scene,
+)
 from gaussiansplattingviewer_tpu.parallel.sharded_render import (
     render_sharded,
     make_sharded_render_fn,
@@ -7,7 +13,10 @@ from gaussiansplattingviewer_tpu.parallel.sharded_render import (
 )
 
 __all__ = [
+    "initialize_distributed",
     "make_mesh",
+    "make_host_mesh",
+    "put_global",
     "replicate_scene",
     "render_sharded",
     "shard_scene_splats",

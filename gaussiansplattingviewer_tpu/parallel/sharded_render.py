@@ -22,6 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 from jax import shard_map
 
@@ -35,7 +36,7 @@ from gaussiansplattingviewer_tpu.ops.compaction import (
     unpack_splats,
 )
 from gaussiansplattingviewer_tpu.ops.projection import project
-from gaussiansplattingviewer_tpu.parallel.mesh import TILE_AXIS
+from gaussiansplattingviewer_tpu.parallel.mesh import TILE_AXIS, tile_axes
 
 
 def _rows_per_shard(cfg: RenderConfig, n_shards: int) -> int:
@@ -254,7 +255,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
                  gather_budget_factor: float | None = None,
                  exchange: bool = False, n_shards: int = 1,
                  exchange_budget_factor: float = 3.0,
-                 idx=None):
+                 idx=None, axis=TILE_AXIS):
     """Per-device body: render this device's set of tile rows — the
     contiguous band {idx*rows + s} (row_stride == 1) or the INTERLEAVED
     set {idx + s * n_shards} (row_stride == n_shards), which de-skews load
@@ -286,7 +287,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     local order (de-interleaving is the caller's job when row_stride > 1).
     """
     if idx is None:
-        idx = jax.lax.axis_index(TILE_AXIS)
+        idx = jax.lax.axis_index(axis)
     row0 = jnp.asarray(
         idx * (rows if row_stride == 1 else 1), jnp.int32
     )
@@ -302,7 +303,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
             # holding what chip s sent to THIS chip; flatten to a single
             # received buffer of n_shards * budget candidate splats
             out = jax.lax.all_to_all(
-                a, TILE_AXIS, split_axis=0, concat_axis=0, tiled=True
+                a, axis, split_axis=0, concat_axis=0, tiled=True
             )
             return out.reshape((-1,) + out.shape[2:])
 
@@ -323,7 +324,7 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
                 splats, valid=splats.valid & kept
             )
         splats = jax.tree.map(
-            lambda a: jax.lax.all_gather(a, TILE_AXIS, axis=0, tiled=True),
+            lambda a: jax.lax.all_gather(a, axis, axis=0, tiled=True),
             splats,
         )
     if (
@@ -401,7 +402,8 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
         use_pallas = jax.default_backend() == "tpu"
     if exchange and not shard_splats:
         raise ValueError("exchange=True requires shard_splats=True")
-    n_shards = mesh.shape[TILE_AXIS]
+    axes = tile_axes(mesh)  # 1-D "tiles" or the ("hosts", "chips") product
+    n_shards = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     rows = _rows_per_shard(cfg, n_shards)
     stride = n_shards if interleaved else 1
 
@@ -411,15 +413,15 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
         band_budget_factor=band_budget_factor,
         gather_budget_factor=gather_budget_factor,
         exchange=exchange, n_shards=n_shards,
-        exchange_budget_factor=exchange_budget_factor,
+        exchange_budget_factor=exchange_budget_factor, axis=axes,
     )
 
-    scene_spec = P(TILE_AXIS) if shard_splats else P()
+    scene_spec = P(axes) if shard_splats else P()
     sharded = shard_map(
         body,
         mesh=mesh,
         in_specs=(scene_spec, P(), P(), P()),
-        out_specs=P(TILE_AXIS, None, None),  # device-major image rows
+        out_specs=P(axes, None, None),  # device-major image rows
         check_vma=False,
     )
 
@@ -455,15 +457,13 @@ def render_sharded(scene: GaussianData, view, proj, cam_pos, cfg: RenderConfig,
 
 
 def shard_scene_splats(scene, mesh):
-    """Place the scene sharded over splats (axis 0) on the mesh; pads to a
-    mesh-size multiple first."""
-    import numpy as np
-    from jax.sharding import NamedSharding
-
-    n_dev = mesh.shape[TILE_AXIS]
+    """Place the scene sharded over splats (axis 0) on the mesh (any axis
+    layout; splats shard over the product); pads to a mesh-size multiple
+    first."""
+    n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
     n = len(scene.xyz)
     scene = scene.pad_to(-(-n // n_dev) * n_dev) if n % n_dev else scene
-    sharding = NamedSharding(mesh, P(TILE_AXIS))
+    sharding = NamedSharding(mesh, P(tile_axes(mesh)))
     return jax.tree.map(lambda a: jax.device_put(jnp.asarray(a), sharding), scene)
 
 
