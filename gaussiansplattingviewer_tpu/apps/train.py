@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--use-intrinsics", action="store_true",
                     help="projection from cameras.txt fx/fy/cx/cy (rescaled "
                     "to the render resolution) instead of the default lens")
+    ap.add_argument("--autotune", action="store_true",
+                    help="tune binning pools to the scene over the training "
+                    "poses (ops/autotune.py) before compiling")
+    ap.add_argument("--overflow-check-every", type=int, default=0,
+                    help="every K steps, check binning overflow/truncation "
+                    "on the current pose and RE-TUNE the pools if the "
+                    "evolving scene outgrew them (0 = log_every; negative "
+                    "disables)")
     return ap
 
 
@@ -120,7 +128,8 @@ def main(argv=None) -> int:
     scene, bbox, center = load_scene(args.gs_model)
     scene = scene.pad_to_multiple(256).to_device()
 
-    if args.n_devices and args.n_devices > 1:
+    sharded = bool(args.n_devices and args.n_devices > 1)
+    if sharded:
         from gaussiansplattingviewer_tpu.parallel import (
             make_mesh,
             make_sharded_render_fn,
@@ -128,18 +137,44 @@ def main(argv=None) -> int:
         )
 
         mesh = make_mesh(args.n_devices)
-        render_fn = make_sharded_render_fn(
-            mesh, cfg, use_pallas=(backend == "pallas")
-        )
         scene = replicate_scene(scene, mesh)
+
+        def make_render(c):
+            return make_sharded_render_fn(
+                mesh, c, use_pallas=(backend == "pallas")
+            )
     else:
         from gaussiansplattingviewer_tpu.ops.render import render
 
-        def render_fn(sc, v, p, c):
-            return render(sc, v, p, c, cfg, backend=backend)
+        def make_render(c):
+            return lambda sc, v, p, cp: render(sc, v, p, cp, c, backend=backend)
 
+    render_fn = make_render(cfg)
     proj, triples = _poses_and_targets(args, scene, bbox, center, cfg, render_fn)
     print(f"{len(triples)} training views, backend={backend}", file=sys.stderr)
+
+    from gaussiansplattingviewer_tpu.ops.autotune import (
+        autotune,
+        binning_overflow,
+    )
+
+    def tune(c, sc):
+        tuned = autotune(
+            sc, [v for v, _, _ in triples], [proj] * len(triples),
+            [p for _, p, _ in triples], c,
+        )
+        print(
+            f"# autotuned: k1={tuned.dense_small_slots} "
+            f"ladder={tuned.pool_ladder} table_rows={tuned.table_budget_rows}",
+            file=sys.stderr,
+        )
+        return tuned
+
+    if args.autotune:
+        cfg = tune(cfg.with_(
+            pool_ladder=(), pool_huge_entries=0, table_budget_rows=0
+        ), scene)
+        render_fn = make_render(cfg)
 
     if args.self_distill:
         rng = np.random.default_rng(0)
@@ -160,24 +195,33 @@ def main(argv=None) -> int:
     optimizer = optax.adam(args.lr)
     opt_state = optimizer.init(scene)
 
-    def loss_fn(sc, view, cam_pos, target):
-        img = render_fn(sc, view, proj, cam_pos)
-        err = img - target
-        return (
-            jnp.mean(jnp.abs(err)) if args.loss == "l1" else jnp.mean(err * err)
+    def build_step(rf):
+        def loss_fn(sc, view, cam_pos, target):
+            img = rf(sc, view, proj, cam_pos)
+            err = img - target
+            return (
+                jnp.mean(jnp.abs(err))
+                if args.loss == "l1"
+                else jnp.mean(err * err)
+            )
+
+        @jax.jit
+        def step(sc, opt_state, view, cam_pos, target):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                sc, view, cam_pos, target
+            )
+            updates, opt_state = optimizer.update(grads, opt_state, sc)
+            return optax.apply_updates(sc, updates), opt_state, loss
+
+        eval_loss = jax.jit(
+            lambda sc: sum(
+                loss_fn(sc, v, c, t) for v, c, t in triples
+            ) / len(triples)
         )
+        return step, eval_loss
 
-    @jax.jit
-    def step(sc, opt_state, view, cam_pos, target):
-        loss, grads = jax.value_and_grad(loss_fn)(sc, view, cam_pos, target)
-        updates, opt_state = optimizer.update(grads, opt_state, sc)
-        return optax.apply_updates(sc, updates), opt_state, loss
-
-    eval_loss = jax.jit(
-        lambda sc: sum(
-            loss_fn(sc, v, c, t) for v, c, t in triples
-        ) / len(triples)
-    )
+    step, eval_loss = build_step(render_fn)
+    check_every = args.overflow_check_every or args.log_every
     first = float(eval_loss(scene))
     t0 = time.time()
     for i in range(args.steps):
@@ -185,6 +229,26 @@ def main(argv=None) -> int:
         scene, opt_state, loss = step(scene, opt_state, view, cam_pos, target)
         if i % args.log_every == 0:
             print(f"step {i:5d}  loss {float(loss):.6f}", file=sys.stderr)
+        if (
+            check_every > 0
+            and not sharded
+            and (i + 1) % check_every == 0
+        ):
+            # the evolving scene can outgrow a tuned pool ladder (splats
+            # drift/inflate); the overflow diagnostic is the trigger to
+            # re-tune (ops/autotune.py margin policy)
+            ovf, trunc = binning_overflow(scene, view, proj, cam_pos, cfg)
+            if int(ovf) or int(trunc):
+                print(
+                    f"step {i}: binning overflow={int(ovf)} "
+                    f"truncated={int(trunc)} — re-tuning pools",
+                    file=sys.stderr,
+                )
+                cfg = tune(cfg.with_(
+                    pool_ladder=(), pool_huge_entries=0, table_budget_rows=0
+                ), scene)
+                render_fn = make_render(cfg)
+                step, eval_loss = build_step(render_fn)
         if args.ckpt_dir and (i + 1) % args.ckpt_every == 0:
             save_train_state(args.ckpt_dir, i + 1, scene, opt_state)
     dt = time.time() - t0

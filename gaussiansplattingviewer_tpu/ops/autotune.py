@@ -151,6 +151,77 @@ def tuned_config(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def binning_overflow(scene, view, proj, cam_pos, cfg: RenderConfig):
+    """(overflow, truncated) binning diagnostics for one pose — the cheap
+    guard a training/viewing loop runs to detect that the camera (or the
+    evolving scene) has outgrown a tuned pool ladder.  Both are 0 in
+    normal operation; nonzero means splats were demoted/dropped and the
+    config should be re-tuned (see autotune_orbit's margin policy)."""
+    splats = project(scene, view, proj, cam_pos, cfg)
+    b = binning.bin_splats(splats, cfg)
+    return b.overflow, b.truncated
+
+
+def orbit_probe_poses(center, radius, width, height, n_azimuth: int = 8,
+                      radii_scales=(0.7, 1.0, 1.6), fovy: float = 1.0):
+    """Representative probe poses for autotuning a MOVING camera: an orbit
+    ring at several radii (closer poses grow per-splat pixel footprints,
+    so probing the closest expected approach bounds the pool sizes).
+
+    Returns (views, projs, cam_positions) as numpy arrays.
+    """
+    from gaussiansplattingviewer_tpu.utils import transforms as tf
+    from gaussiansplattingviewer_tpu.utils.camera import Camera
+
+    cam = Camera(h=height, w=width)
+    cam.fovy = fovy
+    proj = np.asarray(cam.get_project_matrix(), np.float32)
+    center = np.asarray(center, np.float32)
+    views, projs, poss = [], [], []
+    for rs in radii_scales:
+        for i in range(n_azimuth):
+            ang = 2 * np.pi * i / n_azimuth
+            eye = center + float(radius) * rs * np.array(
+                [np.sin(ang), 0.25, np.cos(ang)], np.float32
+            )
+            views.append(np.asarray(tf.look_at(eye, center, [0, -1, 0]),
+                                    np.float32))
+            projs.append(proj)
+            poss.append(eye.astype(np.float32))
+    return views, projs, poss
+
+
+def autotune_orbit(scene, cfg: RenderConfig, center=None, radius=None,
+                   n_azimuth: int = 8, radii_scales=(0.7, 1.0, 1.6),
+                   fovy: float = 1.0, safety: float = 1.2,
+                   **kw) -> RenderConfig:
+    """Autotune for a MOVING camera: probe an orbit of poses around the
+    scene (several azimuths x several radii) instead of a single pose.
+
+    Margin policy: the tuned capacity covers the elementwise-MAX footprint
+    over all probe poses, inflated by ``safety`` (default 1.2).  That
+    guarantees zero demotions for any pose whose per-splat footprints stay
+    within 1.2x of the probed envelope — in practice any camera on or
+    outside the probed inner ring (``min(radii_scales) * radius``).
+    Cameras that approach CLOSER than the probed inner ring can exceed it;
+    either include the closest expected approach in ``radii_scales`` or
+    monitor ``binning_overflow`` and re-tune when it fires (apps/train.py
+    does exactly that for the evolving-scene case).
+    """
+    if center is None or radius is None:
+        bbox, centroid = scene.aabb()
+        lo, hi = np.asarray(bbox[0]), np.asarray(bbox[1])
+        if center is None:
+            center = centroid
+        if radius is None:
+            radius = max(float(np.linalg.norm(hi - lo)) / 2, 1e-3)
+    views, projs, poss = orbit_probe_poses(
+        center, radius, cfg.width, cfg.height, n_azimuth, radii_scales, fovy
+    )
+    return autotune(scene, views, projs, poss, cfg, safety=safety, **kw)
+
+
 def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
              probe: bool = False, **kw) -> RenderConfig:
     """measure_counts + tuned_config in one call.

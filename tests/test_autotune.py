@@ -137,3 +137,57 @@ def test_explicit_ladder_demotes_gracefully():
     assert int(b.overflow) > 0
     img = np.asarray(render(scene, view, proj, cam_pos, tiny, backend="tile"))
     assert np.isfinite(img).all()
+
+
+def test_orbit_autotune_covers_camera_sweep():
+    """autotune_orbit margin policy: any camera whose pose stays within
+    the probed orbit envelope (azimuths BETWEEN the probes, radii inside
+    the probed ring range) renders with zero overflow and truncation."""
+    cfg, scene, _, _, _ = _setup()
+    tuned = autotune.autotune_orbit(
+        scene, cfg, n_azimuth=6, radii_scales=(0.8, 1.0, 1.5)
+    )
+    scene_d = scene.to_device()
+    bbox, center = scene.aabb()
+    radius = max(
+        float(np.linalg.norm(np.asarray(bbox[1]) - np.asarray(bbox[0]))) / 2,
+        1e-3,
+    )
+    cam = Camera(h=cfg.height, w=cfg.width)
+    cam.fovy = 1.0
+    proj = jnp.asarray(cam.get_project_matrix(), jnp.float32)
+    for rs in (0.85, 1.2):
+        for k in range(5):
+            ang = 2 * np.pi * (k + 0.37) / 5
+            eye = np.asarray(center, np.float32) + radius * rs * np.array(
+                [np.sin(ang), 0.25, np.cos(ang)], np.float32
+            )
+            view = jnp.asarray(
+                tf.look_at(eye, center, [0, -1, 0]), jnp.float32
+            )
+            ovf, trunc = autotune.binning_overflow(
+                scene_d, view, proj, jnp.asarray(eye), tuned
+            )
+            assert int(ovf) == 0 and int(trunc) == 0, (
+                f"rs={rs} k={k}: overflow={int(ovf)} truncated={int(trunc)}"
+            )
+
+
+def test_binning_overflow_detects_undersized_ladder():
+    """The overflow diagnostic (the re-tune trigger apps/train.py polls)
+    fires on a ladder too small for the scene."""
+    cfg, scene, view, proj, cam_pos = _setup()
+    tiny = cfg.with_(
+        dense_small_slots=1,
+        pool_ladder=((2, 128),),
+        pool_huge_entries=8,
+        table_budget_rows=0,
+    )
+    ovf, _ = autotune.binning_overflow(
+        scene.to_device(),
+        jnp.asarray(view, jnp.float32),
+        jnp.asarray(proj, jnp.float32),
+        jnp.asarray(cam_pos),
+        tiny,
+    )
+    assert int(ovf) > 0
