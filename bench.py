@@ -44,7 +44,15 @@ def main():
     ap.add_argument("--backend", type=str, default=None)
     ap.add_argument("--no-autotune", action="store_true",
                     help="skip per-scene binning pool autotuning")
+    ap.add_argument("--ref-reso", action="store_true",
+                    help="measure at the reference viewer's default "
+                    "resolution (1160x522, main.py:634-635) FORWARD-ONLY — "
+                    "the apples-to-apples frame time against its ~60 fps "
+                    "display loop")
     args = ap.parse_args()
+    if args.ref_reso:
+        args.width, args.height = 1160, 522
+        args.forward_only = True
 
     import jax
     import jax.numpy as jnp

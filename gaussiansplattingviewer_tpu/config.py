@@ -129,10 +129,13 @@ class RenderConfig:
       early_stop_transmittance: terminate a pixel once transmittance drops
         below this (the CUDA rasterizer uses 1e-4).
       grad_fold_bf16: carry the backward's per-duplicate gradient fold
-        sort payloads in bfloat16 (halves the dominant backward sort's
-        bytes; one bf16 rounding ~0.4% relative per duplicate gradient,
-        f32 accumulation after).  Off by default: parity tests compare
-        gradients at ~1e-4 relative.
+        sort payloads as bf16 PAIRS packed into u32 words (10 sort
+        operands -> 6; sort cost is operand-count-bound, ~30% faster
+        fold measured, scripts/foldbench.py).  One bf16 rounding (~0.4%
+        relative) per duplicate gradient, f32 accumulation after — far
+        inside Adam/SGD noise, so it is ON by default; precision tests
+        and finite-difference checks pin it off
+        (tests/test_grads.py).
       tight_culling: per-tile exact ellipse/rect alpha test during binning.
         A candidate tile is dropped when max over its pixel centers of
         min(alpha_clamp, opacity * exp(power)) < alpha_min — such tiles
@@ -172,7 +175,7 @@ class RenderConfig:
     ball_threshold: float = 0.22
     early_stop_transmittance: float = 1e-4
     tight_culling: bool = True
-    grad_fold_bf16: bool = False
+    grad_fold_bf16: bool = True
 
     @property
     def tiles_x(self) -> int:

@@ -88,12 +88,14 @@ TABLE_PAD = 2 * KERNEL_CHUNK
 class BinnedSplats:
     """Contiguous, depth-ordered per-tile splat lists.
 
-    table: (cap + SEGMENT_ALIGN, TABLE_WIDTH) f32, where cap is the
-      two-level slot capacity bounded by table_budget_factor*N — splat rows in
-      (tile, depth) order, stored COMPACTLY: tile t's rows are
-      [tile_starts[t], tile_starts[t+1]); sentinel entries sit past
-      tile_starts[-1] and a SEGMENT_ALIGN tail pad keeps aligned kernel
-      windows in bounds.
+    table: ATTRIBUTE-MAJOR (TABLE_WIDTH, cap + TABLE_PAD) f32, where cap
+      is the slot capacity bounded by the table budget — splat rows in
+      (tile, depth) order along axis 1, stored COMPACTLY: tile t's rows
+      are columns [tile_starts[t], tile_starts[t+1]); sentinel entries
+      sit past tile_starts[-1] and a TABLE_PAD tail keeps aligned kernel
+      windows in bounds.  Attribute-major is the layout the Pallas blend
+      kernels stream and their backward emits — keeping it end-to-end
+      avoids two full-table transposes per training step.
     tile_starts: (num_tiles + 1,) i32 — segment boundaries.
     tile_counts: (num_tiles,) i32 — rows per tile (= diff(tile_starts)).
     num_duplicates: () i32 — total live entries (diagnostics).
@@ -243,22 +245,30 @@ def tile_bbox(
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
 def _gather_table_rows(levels, pack, rows_trunc, perm, big_pos):
-    """pack[rows_trunc] — materialize the splat-attribute row of each
-    (truncated) sorted duplicate slot.
+    """pack[rows_trunc].T — materialize the splat-attribute rows of the
+    (truncated) sorted duplicate slots, ATTRIBUTE-MAJOR (16, cap_mat).
 
-    ``levels = (k1, pools)`` with ``pools`` a tuple of
+    SOA in, SOA out: the Pallas kernels stream the (16, Dpad) layout
+    directly and the backward kernel emits gradients in it, so keeping the
+    custom_vjp boundary attribute-major removes two full-table transposes
+    per training step AND makes the fold below read contiguous gradient
+    rows instead of 9 stride-16 column slices.
+
+    ``levels = (k1, pools, fold_bf16)`` with ``pools`` a tuple of
     (extra-slots-per-entry, entry-count) for each pool tier in cat-major
     rank order (hungriest span first: huge, big, full, mid).
 
     The VJP folds slot gradients back onto splats without any scatter:
     ONE key-value ``lax.sort`` with ``perm`` (the flat slot of each sorted
-    position) as the key and the 9 gradient columns as payloads delivers
-    the gradients in flat-slot order — measured ~30% cheaper than the
-    previous inverse-permutation row gather at 5.75M slots
-    (scripts/foldbench.py: 55.6 ms vs 79.2 incl. the inverse-permutation
-    sort the gather needed), with bit-identical results.  Each dense level
-    is then reduced with a contiguous reshape and the pool levels route
-    back to their splats through ``big_pos`` (one small gather).
+    position) as the key and the gradient rows as payloads delivers the
+    gradients in flat-slot order (measured cheaper than the old
+    inverse-permutation row gather, scripts/foldbench.py); each dense
+    level is then reduced with contiguous per-row reshapes and the pool
+    levels route back to their splats through ``big_pos`` (one small row
+    gather).  With fold_bf16, the 9 payload rows are rounded to bf16 and
+    packed PAIRWISE into 5 u32 operands — sort cost is dominated by
+    OPERAND COUNT, not bytes (foldbench E vs F vs H), so the packing is
+    where the speedup lives; sums happen in f32 after unpacking.
 
     Flat-slot layout is SLOT-MAJOR: level-1 slot (s, splat i) lives at
     flat = s * n + i, pool slot (s, pool entry p) at
@@ -268,63 +278,105 @@ def _gather_table_rows(levels, pack, rows_trunc, perm, big_pos):
     (measured ~45 ms per 7M-element flatten; key construction was ~99 ms
     of the frame before this layout).
     """
-    return pack[rows_trunc]
+    return pack[rows_trunc].T
 
 
 def _gather_table_rows_fwd(levels, pack, rows_trunc, perm, big_pos):
-    return pack[rows_trunc], (pack.shape[0], perm, big_pos)
+    return pack[rows_trunc].T, (pack.shape[0], perm, big_pos)
+
+
+def _pack_bf16_pairs(cols):
+    """Round f32 arrays to bf16 and pack them pairwise into u32 words."""
+    u16s = [
+        jax.lax.bitcast_convert_type(
+            c.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)
+        for c in cols
+    ]
+    if len(u16s) % 2:
+        u16s.append(jnp.zeros_like(u16s[0]))
+    return [
+        u16s[2 * i] | (u16s[2 * i + 1] << jnp.uint32(16))
+        for i in range(len(u16s) // 2)
+    ]
+
+
+def _unpack_bf16_pairs(packed, count):
+    """Inverse of _pack_bf16_pairs -> ``count`` f32 arrays."""
+    cols = []
+    for p in packed:
+        for sh in (0, 16):
+            cols.append(
+                jax.lax.bitcast_convert_type(
+                    ((p >> jnp.uint32(sh)) & jnp.uint32(0xFFFF)).astype(
+                        jnp.uint16
+                    ),
+                    jnp.bfloat16,
+                ).astype(jnp.float32)
+            )
+    return cols[:count]
 
 
 def _gather_table_rows_bwd(levels, res, g):
     k1, pools, fold_bf16 = levels
     n, perm, big_pos = res
     cap = perm.shape[0]
-    cap_mat = g.shape[0]
-    # only the first GRAD_WIDTH columns (cx..opacity, see layout above) ever
+    cap_mat = g.shape[1]
+    # only the first GRAD_WIDTH rows (cx..opacity, see layout above) ever
     # carry gradient — the blend kernels never differentiate radius/depth —
     # so the sort carries 9 payload columns, not 16
     width = GRAD_WIDTH
-    cols = [g[:, j] for j in range(width)]
-    if fold_bf16:
-        # halve the sorted payload bytes; one bf16 rounding (~0.4% rel)
-        # per duplicate gradient, summed in f32 after the sort
-        # (cfg.grad_fold_bf16 — a speed/precision knob, off by default)
-        cols = [c.astype(jnp.bfloat16) for c in cols]
-    dtype = cols[0].dtype
+    cols = [g[j] for j in range(width)]  # contiguous SOA rows
     if cap > cap_mat:
         # budget-truncated sorted slots were never materialized: zero grad
-        pad = jnp.zeros((cap - cap_mat,), dtype)
+        pad = jnp.zeros((cap - cap_mat,), g.dtype)
         cols = [jnp.concatenate([c, pad]) for c in cols]
+    if fold_bf16:
+        payload = _pack_bf16_pairs(cols)
+    else:
+        payload = cols
     # perm is a permutation of arange(cap): sorting by it as the key puts
     # payload row j at flat slot j — no scatter, no inverse permutation
-    sorted_ops = jax.lax.sort((perm, *cols), num_keys=1)
-    g_by_flat = jnp.stack(sorted_ops[1:], axis=0).T.astype(
-        jnp.float32
-    )  # (cap, W) flat order
-    g1 = g_by_flat[: n * k1].reshape(k1, n, width).sum(axis=0)
+    sorted_ops = jax.lax.sort((perm, *payload), num_keys=1)
+    if fold_bf16:
+        flat_cols = _unpack_bf16_pairs(sorted_ops[1:], width)
+    else:
+        flat_cols = list(sorted_ops[1:])
+
     total_pool = sum(c for _, c in pools)
+    g1_cols, gp_tiers = [], [[] for _ in pools]
+    for c in flat_cols:
+        # dense level: contiguous major-axis reshape sum -> (n,)
+        g1_cols.append(c[: n * k1].reshape(k1, n).sum(axis=0))
+        off = n * k1
+        for t, (kx, clen) in enumerate(pools):
+            if clen == 0:
+                continue
+            gp_tiers[t].append(
+                c[off : off + kx * clen].reshape(kx, clen).sum(axis=0)
+            )
+            off += kx * clen
+    # (n, 16) cotangent for ``pack``: N-scale stack (cheap — the
+    # pathological relayouts are at cap scale, not N scale)
+    zero_n = jnp.zeros((n,), jnp.float32)
+    g1 = jnp.stack(
+        g1_cols + [zero_n] * (TABLE_WIDTH - width), axis=1
+    )
     if total_pool > 0:
         # pool entries are ranks in ONE cat-major order (tiers
         # concatenated) — one concatenated gradient table, one routing
-        # gather via big_pos (sentinel total_pool -> zero row)
-        off = n * k1
-        parts = []
-        for kx, clen in pools:
-            if clen == 0:
-                continue
-            parts.append(
-                g_by_flat[off : off + kx * clen]
-                .reshape(kx, clen, width)
-                .sum(axis=0)
+        # row gather via big_pos (sentinel total_pool -> zero row)
+        parts = [
+            jnp.stack(
+                tier + [jnp.zeros_like(tier[0])] * (TABLE_WIDTH - width),
+                axis=1,
             )
-            off += kx * clen
-        parts.append(jnp.zeros((1, width), g.dtype))
-        gp = jnp.concatenate(parts, axis=0)  # (total_pool + 1, W)
+            for tier in gp_tiers
+            if tier
+        ]
+        parts.append(jnp.zeros((1, TABLE_WIDTH), jnp.float32))
+        gp = jnp.concatenate(parts, axis=0)  # (total_pool + 1, 16)
         g1 = g1 + gp[jnp.minimum(big_pos, total_pool)]
-    # pad the zero-gradient columns (radius, depth, spare) back on
-    g1 = jnp.concatenate(
-        [g1, jnp.zeros((n, TABLE_WIDTH - width), g.dtype)], axis=1
-    )
     return g1, None, None, None
 
 
@@ -698,7 +750,7 @@ def bin_splats(
         big_pos,
     )
     table = jnp.concatenate(
-        [table, jnp.zeros((TABLE_PAD, TABLE_WIDTH), jnp.float32)], axis=0
+        [table, jnp.zeros((TABLE_WIDTH, TABLE_PAD), jnp.float32)], axis=1
     )
 
     # one count per affected splat (a splat can both hit the static bbox

@@ -112,7 +112,8 @@ def _excl_prefix_prod(one_m):
 
 
 def _blend_tile_fwd(table, start, count, px, py, cfg: RenderConfig):
-    """Forward blend of one tile (XLA executor).  px/py: (P,)."""
+    """Forward blend of one tile (XLA executor).  px/py: (P,);
+    table is ATTRIBUTE-MAJOR (16, Dpad) — chunks transpose locally."""
     p = px.shape[0]
     end = start + count
 
@@ -123,8 +124,8 @@ def _blend_tile_fwd(table, start, count, px, py, cfg: RenderConfig):
     def body(state):
         offset, rgb, trans = state
         rows = jax.lax.dynamic_slice(
-            table, (offset, 0), (CHUNK, binning.TABLE_WIDTH)
-        )
+            table, (0, offset), (binning.TABLE_WIDTH, CHUNK)
+        ).T
         live = (offset + jnp.arange(CHUNK)) < end
         f = _chunk_fragments(rows, px, py, cfg)
         a = jnp.where(live[:, None], f["alpha"], 0.0)
@@ -164,8 +165,8 @@ def _blend_tile_bwd(
     def body(state):
         offset, trans, a_dot, g_table = state
         rows = jax.lax.dynamic_slice(
-            table, (offset, 0), (CHUNK, binning.TABLE_WIDTH)
-        )
+            table, (0, offset), (binning.TABLE_WIDTH, CHUNK)
+        ).T
         live = (offset + jnp.arange(CHUNK)) < end
         f = _chunk_fragments(rows, px, py, cfg)
         a = jnp.where(live[:, None], f["alpha"], 0.0)
@@ -228,7 +229,9 @@ def _blend_tile_bwd(
             g_seg = g_seg.at[:, b.COL_R : b.COL_BCH + 1].set(g_col)
 
         g_seg = jnp.where(live[:, None], g_seg, 0.0)
-        g_table = jax.lax.dynamic_update_slice(g_table, g_seg, (offset, 0))
+        g_table = jax.lax.dynamic_update_slice(
+            g_table, g_seg.T, (0, offset)
+        )
 
         trans = trans * prefix[-1] * one_m[-1]
         a_dot = a_dot_inc[-1]
@@ -251,7 +254,8 @@ def blend_tiles(
     cfg: RenderConfig, use_pallas: bool, local_rows: int, row_stride: int,
     table, starts, counts, row_offset,
 ):
-    """Blend all tiles: (Dpad,16) table -> (T, P, 3) rgb + (T, P) trans.
+    """Blend all tiles: ATTRIBUTE-MAJOR (16, Dpad) table -> (T, P, 3) rgb
+    + (T, P) trans.
 
     local_rows / row_stride (static) and row_offset (traced scalar) select
     the tile-row set {row_offset + s * row_stride} this shard renders;
@@ -267,10 +271,10 @@ def _blend_fwd_impl(cfg, use_pallas, local_rows, row_stride, table, starts,
                     counts, row_offset):
     if use_pallas:
         from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
-            rasterize_binned_pallas,
+            rasterize_binned_pallas_soa,
         )
 
-        return rasterize_binned_pallas(
+        return rasterize_binned_pallas_soa(
             table, starts, counts, row_offset, cfg, local_rows, row_stride
         )
     px, py = _tile_pixel_grid(cfg, local_rows, row_offset, row_stride)
@@ -294,10 +298,10 @@ def _blend_vjp_bwd(cfg, use_pallas, local_rows, row_stride, res, cotangents):
     g_rgb, g_trans = cotangents
     if use_pallas:
         from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_bwd import (
-            blend_bwd_pallas,
+            blend_bwd_pallas_soa,
         )
 
-        g_table = blend_bwd_pallas(
+        g_table = blend_bwd_pallas_soa(
             table, starts, counts, row_offset, g_rgb, g_trans, rgb, trans,
             cfg, local_rows, row_stride,
         )

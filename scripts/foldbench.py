@@ -173,6 +173,12 @@ def main():
         ("H sort-carry bf16 packed", jax.jit(sort_fold_packed)),
         ("I packed soa-sum", jax.jit(sort_fold_packed_soa)),
     ]
+    import os
+
+    only = os.environ.get("FOLDBENCH_ONLY")
+    if only:
+        letters = set(only.split(","))
+        stages = [s for s in stages if s[0].split()[0] in letters]
     base = None
     for name, fn in stages:
         ms = timeit(fn, perm, g_soa)

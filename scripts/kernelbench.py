@@ -51,8 +51,8 @@ def main():
         scene, view, proj, cam_pos, cfg
     )
     binned = binning.bin_splats(splats, cfg)
-    table = jax.device_put(np.asarray(binned.table))
-    table_soa = jax.device_put(np.asarray(binned.table.T))
+    table_soa = jax.device_put(np.asarray(binned.table))
+    table = jax.device_put(np.asarray(binned.table).T.copy())
     starts = jax.device_put(np.asarray(binned.tile_starts))
     counts = jax.device_put(np.asarray(binned.tile_counts))
     print(f"table {table.shape}", flush=True)

@@ -34,7 +34,7 @@ def _capacity(splats, cfg):
     """Total slot capacity = length of the sort key buffer."""
     binned = binning.bin_splats(splats, cfg)
     # table is cap_mat + TABLE_PAD rows; use the diagnostic-free proxy:
-    return int(binned.table.shape[0] - binning.TABLE_PAD)
+    return int(binned.table.shape[1] - binning.TABLE_PAD)
 
 
 def test_tuned_config_shrinks_capacity_without_demotion():
@@ -57,7 +57,7 @@ def test_tuned_config_shrinks_capacity_without_demotion():
     assert int(b_tun.truncated) == 0
     # same live entries, smaller materialized table
     assert int(b_tun.num_duplicates) == int(b_def.num_duplicates)
-    assert b_tun.table.shape[0] <= b_def.table.shape[0]
+    assert b_tun.table.shape[1] <= b_def.table.shape[1]
     np.testing.assert_array_equal(
         np.asarray(b_tun.tile_counts), np.asarray(b_def.tile_counts)
     )

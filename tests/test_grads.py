@@ -46,7 +46,7 @@ def _loss_fn(view, proj, cam_pos, cfg, backend, weights):
 
 @pytest.mark.parametrize("mode", [RenderMode.SH0, RenderMode.DEPTH])
 def test_tile_grads_match_oracle_naive(mode):
-    cfg = RenderConfig(width=96, height=64, mode=mode)
+    cfg = RenderConfig(width=96, height=64, mode=mode, grad_fold_bf16=False)
     scene, view, proj, cam_pos = _setup(cfg)
     rng = np.random.default_rng(0)
     weights = jnp.asarray(
@@ -66,7 +66,8 @@ def test_tile_grads_match_oracle_naive(mode):
 
 
 def test_tile_grads_match_oracle_random():
-    cfg = RenderConfig(width=80, height=48, mode=RenderMode.SH3)
+    cfg = RenderConfig(width=80, height=48, mode=RenderMode.SH3,
+                       grad_fold_bf16=False)
     scene = random_scene(300, sh_degree=3, seed=9, extent=2.0, mean_scale=0.06)
     scene_d, view, proj, cam_pos = _setup(cfg, scene)
     rng = np.random.default_rng(1)
@@ -82,7 +83,8 @@ def test_tile_grads_match_oracle_random():
 
 
 def test_pallas_bwd_matches_oracle():
-    cfg = RenderConfig(width=64, height=32, mode=RenderMode.SH0)
+    cfg = RenderConfig(width=64, height=32, mode=RenderMode.SH0,
+                       grad_fold_bf16=False)
     scene, view, proj, cam_pos = _setup(cfg)
     rng = np.random.default_rng(2)
     weights = jnp.asarray(
@@ -157,3 +159,24 @@ def test_grad_zero_for_culled_splats():
     g = jax.grad(_loss_fn(view, proj, cam_pos, cfg, "tile", weights))(scene)
     np.testing.assert_allclose(np.asarray(g.opacity)[1], 0.0, atol=1e-8)
     np.testing.assert_allclose(np.asarray(g.sh)[1], 0.0, atol=1e-8)
+
+
+def test_default_cfg_grads_close_to_f32_fold():
+    """The DEFAULT config folds duplicate gradients through packed-bf16
+    sort payloads (config.grad_fold_bf16); its gradients must stay within
+    a small relative envelope of the exact-f32 fold on every field."""
+    cfg = RenderConfig(width=96, height=64)
+    assert cfg.grad_fold_bf16  # the production default under test
+    scene = random_scene(2000, sh_degree=1, seed=7, extent=2.0, mean_scale=0.04)
+    scene, view, proj, cam_pos = _setup(cfg, scene)
+    rng = np.random.default_rng(1)
+    weights = jnp.asarray(
+        rng.normal(size=(cfg.height, cfg.width, 3)).astype(np.float32)
+    )
+    g16 = jax.grad(_loss_fn(view, proj, cam_pos, cfg, "tile", weights))(scene)
+    cfg32 = cfg.with_(grad_fold_bf16=False)
+    g32 = jax.grad(_loss_fn(view, proj, cam_pos, cfg32, "tile", weights))(scene)
+    for f in FIELDS:
+        a, b = np.asarray(getattr(g32, f)), np.asarray(getattr(g16, f))
+        scale = np.abs(a).max() + 1e-6
+        np.testing.assert_allclose(b, a, atol=0.05 * scale, err_msg=f)

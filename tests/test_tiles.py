@@ -40,7 +40,7 @@ def test_binning_invariants():
     np.testing.assert_array_equal(counts, np.diff(starts))
     assert int(b.overflow) == 0
     assert int(b.num_duplicates) == counts.sum() == starts[-1]
-    table = np.asarray(b.table)
+    table = np.asarray(b.table).T  # attribute-major -> rows
     # kernels read a SEGMENT_ALIGN window past the live region; that tail
     # pad must exist
     assert table.shape[0] >= starts[-1] + binning.SEGMENT_ALIGN
@@ -63,7 +63,7 @@ def test_tile_center_membership():
     tx = (cfg.width // 2) // cfg.tile_size
     ty = (cfg.height // 2) // cfg.tile_size
     t = ty * cfg.tiles_x + tx
-    seg = np.asarray(b.table)[starts[t] : starts[t] + counts[t]]
+    seg = np.asarray(b.table).T[starts[t] : starts[t] + counts[t]]
     depths = seg[:, binning.COL_DEPTH]
     assert len(depths) >= 2
     assert np.isclose(depths[0], 2.0, atol=1e-5)  # blue first (nearest)
