@@ -135,7 +135,9 @@ def _blend_tile_fwd(table, start, count, px, py, cfg: RenderConfig):
         colors = rows[:, binning.COL_R : binning.COL_BCH + 1]  # (S, 3)
         if int(cfg.mode) == RenderMode.GAUSSIAN_BALL:
             w = w * f["gauss"]
-        rgb = rgb + jnp.einsum("sp,sc->pc", w, colors)
+        rgb = rgb + jnp.einsum(
+            "sp,sc->pc", w, colors, precision=jax.lax.Precision.HIGHEST
+        )
         trans = trans * prefix[-1] * one_m[-1]
         return offset + CHUNK, rgb, trans
 
@@ -156,7 +158,9 @@ def _blend_tile_bwd(
     """
     mode = int(cfg.mode)
     end = start + count
-    gdot_out = jnp.einsum("pc,pc->p", g_rgb, out_rgb)  # (P,)
+    gdot_out = jnp.einsum(
+        "pc,pc->p", g_rgb, out_rgb, precision=jax.lax.Precision.HIGHEST
+    )  # (P,)
 
     def cond(state):
         offset, trans, a_dot, _ = state
@@ -176,7 +180,10 @@ def _blend_tile_bwd(
         w = a * t_i
 
         colors = rows[:, binning.COL_R : binning.COL_BCH + 1]  # (S, 3)
-        g_dot_c = jnp.einsum("pc,sc->sp", g_rgb, colors)  # (S, P)
+        g_dot_c = jnp.einsum(
+            "pc,sc->sp", g_rgb, colors,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (S, P)
 
         # u_i = w_i * (g . c_i); inclusive prefix A_dot_i
         u = w * g_dot_c
@@ -200,7 +207,10 @@ def _blend_tile_bwd(
             # piecewise-constant alpha: only color grads (and only for
             # billboard/flat; gaussian-ball folds exp(power) into w)
             w_c = w * f["gauss"] if mode == RenderMode.GAUSSIAN_BALL else w
-            g_col = jnp.einsum("sp,pc->sc", w_c, g_rgb)
+            g_col = jnp.einsum(
+                "sp,pc->sc", w_c, g_rgb,
+                precision=jax.lax.Precision.HIGHEST,
+            )
             g_seg = g_seg.at[:, b.COL_R : b.COL_BCH + 1].set(g_col)
         else:
             unclamped = f["unclamped"] & live[:, None]
@@ -218,7 +228,10 @@ def _blend_tile_bwd(
             g_c = jnp.sum(d_power * (-0.5 * dy * dy), axis=1)
             g_cx = jnp.sum(d_power * (ca * dx + cb * dy), axis=1)
             g_cy = jnp.sum(d_power * (cc * dy + cb * dx), axis=1)
-            g_col = jnp.einsum("sp,pc->sc", w, g_rgb)
+            g_col = jnp.einsum(
+                "sp,pc->sc", w, g_rgb,
+                precision=jax.lax.Precision.HIGHEST,
+            )
 
             g_seg = g_seg.at[:, b.COL_CX].set(g_cx)
             g_seg = g_seg.at[:, b.COL_CY].set(g_cy)
@@ -286,15 +299,32 @@ def _blend_fwd_impl(cfg, use_pallas, local_rows, row_stride, table, starts,
 
 def _blend_vjp_fwd(cfg, use_pallas, local_rows, row_stride, table, starts,
                    counts, row_offset):
+    if use_pallas:
+        # train forward: also emits the backward's residuals — per-block
+        # entering-transmittance checkpoints + per-tile processed-chunk
+        # counts — so the Pallas backward can traverse back-to-front
+        # (tile_raster_bwd.py docstring)
+        from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
+            rasterize_binned_pallas_train,
+        )
+
+        rgb, trans, ckpt, nproc = rasterize_binned_pallas_train(
+            table, starts, counts, row_offset, cfg, local_rows, row_stride
+        )
+        return (rgb, trans), (
+            table, starts, counts, row_offset, rgb, trans, ckpt, nproc,
+        )
     rgb, trans = _blend_fwd_impl(
         cfg, use_pallas, local_rows, row_stride, table, starts, counts,
         row_offset,
     )
-    return (rgb, trans), (table, starts, counts, row_offset, rgb, trans)
+    return (rgb, trans), (
+        table, starts, counts, row_offset, rgb, trans, None, None,
+    )
 
 
 def _blend_vjp_bwd(cfg, use_pallas, local_rows, row_stride, res, cotangents):
-    table, starts, counts, row_offset, rgb, trans = res
+    table, starts, counts, row_offset, rgb, trans, ckpt, nproc = res
     g_rgb, g_trans = cotangents
     if use_pallas:
         from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_bwd import (
@@ -302,8 +332,8 @@ def _blend_vjp_bwd(cfg, use_pallas, local_rows, row_stride, res, cotangents):
         )
 
         g_table = blend_bwd_pallas_soa(
-            table, starts, counts, row_offset, g_rgb, g_trans, rgb, trans,
-            cfg, local_rows, row_stride,
+            table, starts, counts, nproc, ckpt, row_offset, g_rgb, g_trans,
+            trans, cfg, local_rows, row_stride,
         )
     else:
         px, py = _tile_pixel_grid(cfg, local_rows, row_offset, row_stride)

@@ -2,18 +2,37 @@
 
 Implements the gradient semantics documented in ops/blend.py (the
 diff-gaussian-rasterization backward the reference links but never runs,
-renderer_cuda.py:214) as a front-to-back RE-TRAVERSAL: no per-splat
-residuals are stored — each tile streams its splat rows again, recomputes
-alpha/transmittance, and emits per-row gradients for (center, conic,
-opacity, color) with the streaming identity g.S_i = g.out - g.A_i.
+renderer_cuda.py:214) as a BACK-TO-FRONT re-traversal: no per-splat
+residuals are stored — each tile streams its splat rows in reverse chunk
+order, recomputes alpha, and emits per-row gradients for (center, conic,
+opacity, color).
 
-Layout mirrors the forward kernel (tile_raster_fwd.py): pixels on sublanes,
-splats on lanes, attribute-major (16, Dpad) table, lane-aligned chunk DMAs.
-Each table row belongs to exactly one tile, so gradient rows are pure
-writes — no atomics, no collisions.  The output buffer is zero-initialized
-through input/output aliasing so rows of chunks skipped by the
-transmittance early-stop (which contributed nothing in the forward) keep
-exactly zero gradient.
+Back-to-front (vs the earlier front-to-back formulation) is the CUDA
+reference's own traversal order, and it exists for a numerical reason:
+dL/da_i needs the STRICT SUFFIX sum S_i = sum_{j>i} w_j (g.c_j).  Computed
+front-to-back that is gdot_out - prefix_i — a subtraction of two
+near-equal accumulations whose ABSOLUTE error (~1e-5 |gdot_out|) does not
+shrink for late splats even though S_i -> 0, and whose noise was the
+dominant term in the xyz gradient deviation (PARITY.md: 4.3e-3 relative,
+amplified ~30x by the moment recombination).  Traversed back-to-front the
+suffix accumulates FROM ZERO, so its error stays relative to S_i itself.
+
+Reverse traversal needs each block's entering transmittance without
+running the forward chain — the forward kernel (tile_raster_fwd.py, train
+variant) stores exactly that: a per-128-block checkpoint of the entering
+transmittance (bit-identical to the forward's own carry) plus a per-tile
+processed-chunk count, so fwd and bwd agree exactly on t_i AND on which
+chunks the early-stop skipped.  Within a block the per-lane prefix product
+is recomputed with the same 2-pass log-domain triangular matmul as the
+forward (bit-identical results).
+
+Layout mirrors the forward kernel: pixels on sublanes, splats on lanes,
+attribute-major (16, Dpad) table, lane-aligned chunk DMAs.  Each table row
+belongs to exactly one tile, so gradient rows are pure writes — no
+atomics, no collisions.  The output buffer is zero-initialized through
+input/output aliasing so rows of chunks skipped by the transmittance
+early-stop (which contributed nothing in the forward) keep exactly zero
+gradient.
 """
 
 from __future__ import annotations
@@ -40,29 +59,33 @@ from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
 
 CHUNK = KERNEL_CHUNK  # see tile_raster_fwd
 N_BUF = 2
+BLOCKS = CHUNK // SCAN_BLOCK
 
 
-def _inclusive_cumsum_lanes(x: jnp.ndarray) -> jnp.ndarray:
-    """Inclusive prefix sum along axis 1 as ONE triangular matmul on the
-    MXU (the roll-add Hillis-Steele scan was 21 VPU ops on the full
-    block); f32-accurate 3-pass split, see _tri_matmul_f32."""
+def _suffix_sum_strict(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
+    """Strict suffix sum along axis 1 as ONE triangular matmul on the MXU:
+    out[:, i] = sum_{j > i} x[:, j].  3-pass f32 split (terms cancel, so
+    unlike the same-sign log scan this keeps full precision); exact=True
+    (interpret/CPU) uses one plain f32 pass."""
     s = x.shape[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
-    tri_incl = (ri <= ci).astype(jnp.float32)  # [j, i] = 1 iff j <= i
-    return _tri_matmul_f32(x, tri_incl)
+    tri_suf = (ri > ci).astype(jnp.float32)  # [j, i] = 1 iff j > i
+    return _tri_matmul_f32(x, tri_suf, passes=1 if exact else 3)
 
 
 def _block_grads(
-    rows, live, gscratch, slot, bs, be, trans, a_dot,
-    px, py, ox, oy, basis, g_rgb, g_trans, out_trans, gdot_out,
-    cfg: RenderConfig,
+    rows, live, gscratch, slot, bs, be, t_block, suffix,
+    px, py, ox, oy, basis, g_rgb, g_trans, out_trans,
+    cfg: RenderConfig, exact_scan: bool,
 ):
     """Gradient math for one (16, SCAN_BLOCK) block: recompute the forward
-    alpha/transmittance, emit per-row gradients into gscratch[slot, :, bs:be],
-    and return the chained (trans, a_dot) carries.
+    alpha, emit per-row gradients into gscratch[slot, :, bs:be], and return
+    the updated suffix carry.
 
-    rows: (16, S) attribute block; live: (1, S); trans/a_dot: (P, 1).
+    rows: (16, S) attribute block; live: (1, S); t_block: (P, 1) the
+    block's ENTERING transmittance (forward checkpoint); suffix: (P, 1)
+    sum of w_j (g.c_j) over all splats AFTER this block.
     """
     b = binning
     mode = int(cfg.mode)
@@ -100,24 +123,30 @@ def _block_grads(
             unclamped = keep & (raw < cfg.alpha_clamp)
 
     one_m = 1.0 - alpha
-    prefix = _exclusive_cumprod_lanes(one_m)
-    t_i = prefix * trans  # (P, S)
+    # bit-identical to the forward's within-block prefix (same 2-pass
+    # log-domain matmul); t_block is the forward's exact carry, so t_i
+    # here matches the forward's transmittance exactly
+    prefix = _exclusive_cumprod_lanes(one_m, exact=exact_scan)
+    t_i = prefix * t_block  # (P, S)
     w = alpha * t_i
 
-    # g . c_i : (P, 3) x (3, S) on the MXU
-    g_dot_c = jax.lax.dot_general(
-        g_rgb,
-        colors,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
+    # g . c_i as exact-f32 VPU broadcasts (k=3; a DEFAULT dot_general is
+    # one bf16 MXU pass — 0.4% error straight into dl_da)
+    g_dot_c = (
+        g_rgb[:, 0:1] * colors[0:1, :]
+        + g_rgb[:, 1:2] * colors[1:2, :]
+        + g_rgb[:, 2:3] * colors[2:3, :]
+    )  # (P, S)
     u = w * g_dot_c
-    a_dot_inc = a_dot + _inclusive_cumsum_lanes(u)  # (P, S)
+    # S_i accumulated FROM ZERO back-to-front: strict in-block suffix +
+    # the carry from all later blocks.  No gdot_out subtraction.
+    suf_in = _suffix_sum_strict(u, exact=exact_scan)
+    s_i = suf_in + suffix  # (P, S)
 
     one_m_safe = jnp.maximum(one_m, 1.0 - cfg.alpha_clamp)
     dl_da = (
         t_i * g_dot_c
-        - (gdot_out - a_dot_inc) / one_m_safe
+        - s_i / one_m_safe
         - g_trans * out_trans / one_m_safe
     )
     dl_da = jnp.where(alpha > 0.0, dl_da, 0.0)
@@ -129,16 +158,17 @@ def _block_grads(
         RenderMode.GAUSSIAN_BALL,
     ):
         w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
-        g_col = jax.lax.dot_general(
-            w_c,
-            g_rgb,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (S, 3)
+        # per-channel sublane reductions (exact f32, no bf16 MXU pass,
+        # and no (S, 3) transpose)
+        g_col = jnp.concatenate(
+            [
+                jnp.sum(w_c * g_rgb[:, c : c + 1], axis=0, keepdims=True)
+                for c in range(3)
+            ],
+            axis=0,
+        )  # (3, S)
         gscratch[slot, :, bs:be] = zeros_blk
-        gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = jnp.transpose(
-            g_col, (1, 0)
-        )
+        gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = g_col
     else:
         d_power = jnp.where(unclamped, dl_da * op * gauss, 0.0)
         # All six pixel-reductions (opacity, conic x3, center x2) are
@@ -169,13 +199,15 @@ def _block_grads(
         g_cc = -0.5 * syy
         g_cx = ca * sx + cb * sy
         g_cy = cc * sy + cb * sx
-        # (S, P) x (P, 3) -> per-splat color grads, on the MXU
-        g_col = jax.lax.dot_general(
-            w,
-            g_rgb,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (S, 3)
+        # per-splat color grads as per-channel sublane reductions (exact
+        # f32, no bf16 MXU pass, no transpose)
+        g_col = jnp.concatenate(
+            [
+                jnp.sum(w * g_rgb[:, c : c + 1], axis=0, keepdims=True)
+                for c in range(3)
+            ],
+            axis=0,
+        )  # (3, S)
 
         gscratch[slot, :, bs:be] = zeros_blk
         gscratch[slot, b.COL_CX : b.COL_CX + 1, bs:be] = g_cx
@@ -184,33 +216,36 @@ def _block_grads(
         gscratch[slot, b.COL_B : b.COL_B + 1, bs:be] = g_cb
         gscratch[slot, b.COL_C : b.COL_C + 1, bs:be] = g_cc
         gscratch[slot, b.COL_OPACITY : b.COL_OPACITY + 1, bs:be] = g_op
-        gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = jnp.transpose(
-            g_col, (1, 0)
-        )
+        gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = g_col
 
-    trans = trans * prefix[:, -1:] * one_m[:, -1:]
-    a_dot = a_dot_inc[:, -1:]
-    return trans, a_dot
+    # full-block total of u rides out as the next (earlier) block's carry:
+    # suf_in[:, 0] + u[:, 0] is the INCLUSIVE block suffix at lane 0
+    return suffix + suf_in[:, 0:1] + u[:, 0:1]
 
 
 def _bwd_kernel(
     starts_ref,  # scalar prefetch (T+1,)
     counts_ref,  # scalar prefetch (T,)
+    nproc_ref,  # scalar prefetch (T,): forward's processed-chunk counts
     rowoff_ref,  # scalar prefetch (1,) tile-row offset of this shard
     g_ref,  # VMEM block (1, P, 4): [g_rgb | g_trans]
-    out_res_ref,  # VMEM block (1, P, 4): forward [rgb | trans]
+    out_res_ref,  # VMEM block (1, P, 1): forward transmittance
     table_ref,  # ANY (16, Dpad)
+    ckpt_ref,  # ANY (2, Dpad): forward per-block entering transmittance
     gtable_init_ref,  # ANY (16, Dpad) zeros, aliased to output
     gtable_ref,  # ANY (16, Dpad) output
     scratch,  # VMEM (N_BUF, 16, CHUNK)
+    ckscratch,  # VMEM (N_BUF, 2, CHUNK): checkpoint columns per chunk
     gscratch,  # VMEM (N_BUF, 16, CHUNK): double-buffered gradient staging
     gprev_scratch,  # VMEM (16, CHUNK): boundary-block RMW accumulator
     sems,  # DMA (N_BUF,)
+    cksems,  # DMA (N_BUF,)
     out_sems,  # DMA (N_BUF,)
     prev_sem,  # DMA ()
     *,
     cfg: RenderConfig,
     row_stride: int = 1,
+    exact_scan: bool = False,
 ):
     del gtable_init_ref
     t = pl.program_id(0)
@@ -220,7 +255,7 @@ def _bwd_kernel(
     end = start + counts_ref[t]
     base = (start // SEGMENT_ALIGN) * SEGMENT_ALIGN  # aligned window start
     num_chunks = jnp.where(end > start, pl.cdiv(end - base, CHUNK), 0)
-    mode = int(cfg.mode)
+    nproc = jnp.minimum(nproc_ref[t], num_chunks)
     b = binning
 
     ts = cfg.tile_size
@@ -252,9 +287,12 @@ def _bwd_kernel(
 
     g_rgb = g_ref[0, :, 0:3]  # (P, 3)
     g_trans = g_ref[0, :, 3:4]  # (P, 1)
-    out_rgb = out_res_ref[0, :, 0:3]
-    out_trans = out_res_ref[0, :, 3:4]
-    gdot_out = jnp.sum(g_rgb * out_rgb, axis=1, keepdims=True)  # (P, 1)
+    out_trans = out_res_ref[0, :, 0:1]  # (P, 1)
+
+    # reverse iteration: step k processes chunk ci = nproc - 1 - k;
+    # DMA slots are indexed by k so consecutive steps alternate buffers
+    def chunk_of(k, np_=None):
+        return (nproc if np_ is None else np_) - 1 - k
 
     def get_dma(slot, chunk_idx, tile_base=None):
         offset = pl.multiple_of(
@@ -267,10 +305,25 @@ def _bwd_kernel(
             sems.at[slot],
         )
 
+    def get_ck(slot, chunk_idx, tile_base=None):
+        # entering transmittance of the chunk's blocks lives at the
+        # chunk's own column window of the (2, Dpad) checkpoint buffer
+        # (tile_raster_fwd.ckpt_put)
+        offset = pl.multiple_of(
+            (base if tile_base is None else tile_base) + chunk_idx * CHUNK,
+            SEGMENT_ALIGN,
+        )
+        return pltpu.make_async_copy(
+            ckpt_ref.at[:, pl.ds(offset, CHUNK)],
+            ckscratch.at[slot],
+            cksems.at[slot],
+        )
+
     def get_gprev_dma(chunk_idx):
         # adjacent tiles share boundary blocks of the compact layout, so
         # gradient writes are read-modify-write (the grid is sequential on
-        # a single TensorCore, so the neighbor's write has completed)
+        # a single TensorCore; the already-completed neighbor's write — or
+        # the zero initialization — is what gets accumulated)
         offset = pl.multiple_of(base + chunk_idx * CHUNK, SEGMENT_ALIGN)
         return pltpu.make_async_copy(
             gtable_ref.at[:, pl.ds(offset, CHUNK)],
@@ -278,13 +331,13 @@ def _bwd_kernel(
             prev_sem,
         )
 
-    def put_dma(chunk_idx):
-        # double-buffered: the put for chunk ci streams from gscratch slot
-        # ci % N_BUF while chunk ci+1 computes into the other slot; the
-        # synchronous put.wait() here used to stall the loop on every HBM
-        # write-back
-        offset = pl.multiple_of(base + chunk_idx * CHUNK, SEGMENT_ALIGN)
-        slot = jax.lax.rem(chunk_idx, N_BUF)
+    def put_dma(k_step):
+        # double-buffered: the put for step k streams from gscratch slot
+        # k % N_BUF while step k+1 computes into the other slot
+        offset = pl.multiple_of(
+            base + chunk_of(k_step) * CHUNK, SEGMENT_ALIGN
+        )
+        slot = jax.lax.rem(k_step, N_BUF)
         return pltpu.make_async_copy(
             gscratch.at[slot],
             gtable_ref.at[:, pl.ds(offset, CHUNK)],
@@ -292,32 +345,35 @@ def _bwd_kernel(
         )
 
     # cross-tile prefetch (mirrors tile_raster_fwd): the previous grid step
-    # started this tile's chunk 0 into slot 0; only tile 0 starts cold
-    @pl.when((t == 0) & (num_chunks > 0))
+    # started this tile's LAST processed chunk into slot 0; only tile 0
+    # starts cold
+    @pl.when((t == 0) & (nproc > 0))
     def _():
-        get_dma(0, 0).start()
+        get_dma(0, chunk_of(0)).start()
+        get_ck(0, chunk_of(0)).start()
 
     def cond(state):
-        ci, trans, a_dot = state
-        return (ci < num_chunks) & (
-            jnp.max(trans) > cfg.early_stop_transmittance
-        )
+        k, suffix = state
+        return k < nproc
 
     def body(state):
-        ci, trans, a_dot = state
-        slot = jax.lax.rem(ci, N_BUF)
-        next_slot = jax.lax.rem(ci + 1, N_BUF)
+        k, suffix = state
+        ci = chunk_of(k)
+        slot = jax.lax.rem(k, N_BUF)
+        next_slot = jax.lax.rem(k + 1, N_BUF)
 
-        @pl.when(ci + 1 < num_chunks)
+        @pl.when(k + 1 < nproc)
         def _():
-            get_dma(next_slot, ci + 1).start()
+            get_dma(next_slot, ci - 1).start()
+            get_ck(next_slot, ci - 1).start()
 
         get_dma(slot, ci).wait()
-        # reclaim this gscratch slot: its previous put (chunk ci - N_BUF)
+        get_ck(slot, ci).wait()
+        # reclaim this gscratch slot: its previous put (step k - N_BUF)
         # must have drained before we overwrite the staging buffer
-        @pl.when(ci >= N_BUF)
+        @pl.when(k >= N_BUF)
         def _():
-            put_dma(ci - N_BUF).wait()
+            put_dma(k - N_BUF).wait()
 
         # only the first/last chunk of a tile can share its 128-block with
         # a neighboring tile; interior chunks are exclusively owned, so the
@@ -331,10 +387,10 @@ def _bwd_kernel(
             get_gprev_dma(ci).start()
 
         rows_chunk = scratch[slot]  # (16, CHUNK)
-        # each chunk is CHUNK // SCAN_BLOCK sequential 128-lane gradient
-        # blocks (prefix matmuls are O(S^2), see tile_raster_fwd); trans
-        # and a_dot chain across blocks exactly as across chunks
-        for bi in range(CHUNK // SCAN_BLOCK):
+        # blocks processed in REVERSE within the chunk; each block's
+        # entering transmittance comes from its forward checkpoint (no
+        # within-chunk chaining), only the suffix carries backward
+        for bi in reversed(range(BLOCKS)):
             bs = bi * SCAN_BLOCK
             be = bs + SCAN_BLOCK
             rows = rows_chunk[:, bs:be]  # (16, S)
@@ -342,57 +398,72 @@ def _bwd_kernel(
                 jnp.int32, (1, SCAN_BLOCK), 1
             )
             live = (col >= start) & (col < end)
-            trans, a_dot = _block_grads(
-                rows, live, gscratch, slot, bs, be, trans, a_dot,
+            # the tile's very first block has entering transmittance 1.0
+            # and no stored checkpoint (tile_raster_fwd.ckpt_put)
+            # (2, 128) checkpoint window -> (P, 1) pixel column; Mosaic
+            # lowers the (1,128)->(128,1) transposes but not the direct
+            # (2,128)->(256,1) reshape
+            ck = ckscratch[slot, :, bs:be].reshape(
+                p // SCAN_BLOCK, SCAN_BLOCK
+            )
+            t_block = jnp.concatenate(
+                [ck[j : j + 1, :].T for j in range(p // SCAN_BLOCK)],
+                axis=0,
+            )
+            if bi == 0:
+                t_block = jnp.where(ci == 0, 1.0, t_block)
+            suffix = _block_grads(
+                rows, live, gscratch, slot, bs, be, t_block, suffix,
                 px, py, ox, oy, basis, g_rgb, g_trans, out_trans,
-                gdot_out, cfg,
+                cfg, exact_scan,
             )
         @pl.when(boundary)
         def _():
             get_gprev_dma(ci).wait()
             gscratch[slot, :, :] = gscratch[slot, :, :] + gprev_scratch[:, :]
 
-        put_dma(ci).start()
-        return ci + 1, trans, a_dot
+        put_dma(k).start()
+        return k + 1, suffix
 
-    init = (0, jnp.ones((p, 1), jnp.float32), jnp.zeros((p, 1), jnp.float32))
-    ci, _, _ = jax.lax.while_loop(cond, body, init)
+    init = (0, jnp.zeros((p, 1), jnp.float32))
+    k_fin, _ = jax.lax.while_loop(cond, body, init)
 
-    @pl.when(ci < num_chunks)
-    def _():
-        get_dma(jax.lax.rem(ci, N_BUF), ci).wait()
-
-    # start the next tile's first chunk; all this tile's gets have drained
+    # start the next tile's last processed chunk; all this tile's gets
+    # have drained (each step waits its own)
     @pl.when(t + 1 < nt)
     def _():
         nstart = starts_ref[t + 1]
         nend = nstart + counts_ref[t + 1]
+        nbase = (nstart // SEGMENT_ALIGN) * SEGMENT_ALIGN
+        n_nc = jnp.where(nend > nstart, pl.cdiv(nend - nbase, CHUNK), 0)
+        n_np = jnp.minimum(nproc_ref[t + 1], n_nc)
 
-        @pl.when(nend > nstart)
+        @pl.when(n_np > 0)
         def _():
-            get_dma(
-                0, 0,
-                tile_base=(nstart // SEGMENT_ALIGN) * SEGMENT_ALIGN,
-            ).start()
+            get_dma(0, n_np - 1, tile_base=nbase).start()
+            get_ck(0, n_np - 1, tile_base=nbase).start()
 
     # drain the (up to N_BUF) outstanding gradient puts before the next
     # grid step: its boundary RMW may read blocks this tile just wrote
     for k in range(N_BUF):
-        @pl.when(ci >= k + 1)
+        @pl.when(k_fin >= k + 1)
         def _(k=k):
-            put_dma(ci - 1 - k).wait()
+            put_dma(k_fin - 1 - k).wait()
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
 )
 def blend_bwd_pallas(
-    table, starts, counts, row_offset, g_rgb, g_trans, out_rgb, out_trans,
-    cfg: RenderConfig, local_rows: int | None = None, row_stride: int = 1,
+    table, starts, counts, nproc, ckpt, row_offset, g_rgb, g_trans,
+    out_trans, cfg: RenderConfig, local_rows: int | None = None,
+    row_stride: int = 1,
 ):
-    """table (Dpad, 16) row-major; returns g_table (Dpad, 16)."""
+    """table (Dpad, 16) row-major; returns g_table (Dpad, 16).  nproc and
+    ckpt are the forward train variant's residuals
+    (tile_raster_fwd.rasterize_binned_pallas_train)."""
     return blend_bwd_pallas_soa(
-        table.T, starts, counts, row_offset, g_rgb, g_trans, out_rgb,
+        table.T, starts, counts, nproc, ckpt, row_offset, g_rgb, g_trans,
         out_trans, cfg, local_rows, row_stride,
     ).T
 
@@ -401,7 +472,7 @@ def blend_bwd_pallas(
     jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
 )
 def blend_bwd_pallas_soa(
-    table_soa, starts, counts, row_offset, g_rgb, g_trans, out_rgb,
+    table_soa, starts, counts, nproc, ckpt, row_offset, g_rgb, g_trans,
     out_trans, cfg: RenderConfig, local_rows: int | None = None,
     row_stride: int = 1,
 ):
@@ -412,31 +483,36 @@ def blend_bwd_pallas_soa(
         local_rows = cfg.tiles_y
     num_tiles = local_rows * cfg.tiles_x
     dpad = table_soa.shape[1]
+    interpret = jax.default_backend() == "cpu"
 
     g_packed = jnp.concatenate([g_rgb, g_trans[..., None]], axis=-1)
-    out_packed = jnp.concatenate([out_rgb, out_trans[..., None]], axis=-1)
+    out_packed = out_trans[..., None]
     gtable_zero = jnp.zeros((TABLE_WIDTH, dpad), jnp.float32)
 
     rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    nproc = nproc.astype(jnp.int32).reshape(-1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
                 (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+                (1, p, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
             ),
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((N_BUF, p // SCAN_BLOCK, CHUNK), jnp.float32),
             pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
             pltpu.VMEM((TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
             pltpu.SemaphoreType.DMA((N_BUF,)),
             pltpu.SemaphoreType.DMA((N_BUF,)),
             pltpu.SemaphoreType.DMA(()),
@@ -444,9 +520,15 @@ def blend_bwd_pallas_soa(
     )
 
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, cfg=cfg, row_stride=row_stride),
+        functools.partial(
+            _bwd_kernel, cfg=cfg, row_stride=row_stride,
+            exact_scan=interpret,
+        ),
         out_shape=jax.ShapeDtypeStruct((TABLE_WIDTH, dpad), jnp.float32),
         grid_spec=grid_spec,
-        input_output_aliases={6: 0},  # zeros input -> output buffer
-        interpret=(jax.default_backend() == "cpu"),
-    )(starts, counts, rowoff, g_packed, out_packed, table_soa, gtable_zero)
+        input_output_aliases={8: 0},  # zeros input -> output buffer
+        interpret=interpret,
+    )(
+        starts, counts, nproc, rowoff, g_packed, out_packed, table_soa,
+        ckpt, gtable_zero,
+    )

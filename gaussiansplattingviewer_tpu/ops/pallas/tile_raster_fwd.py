@@ -51,19 +51,27 @@ CHUNK = KERNEL_CHUNK
 N_BUF = 2  # double buffering
 
 
-def _tri_matmul_f32(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
-    """x @ tri at ~f32 accuracy in 3 MXU passes instead of HIGHEST's 6.
+def _tri_matmul_f32(
+    x: jnp.ndarray, tri: jnp.ndarray, passes: int = 3
+) -> jnp.ndarray:
+    """x @ tri at near-f32 accuracy in ``passes`` MXU passes instead of
+    HIGHEST's 6.
 
     ``tri`` is a 0/1 mask — EXACT in bf16 — so only ``x`` needs splitting:
-    x = hi + mid + lo with each term bf16-exact captures ~24 mantissa bits,
-    and (hi + mid + lo) @ tri is three DEFAULT-precision (1-pass bf16)
-    matmuls whose f32 accumulation is exact per pass.  Mosaic lowers only
-    DEFAULT and HIGHEST dot precisions, so this hand-rolled split is the
-    only way to get f32-accurate triangular scans at half the MXU cost."""
-    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
-    rem = x - hi
-    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
-    lo = rem - mid
+    x = hi + mid (+ lo) with each term bf16-exact captures ~16 (~24)
+    mantissa bits, and the split @ tri is ``passes`` DEFAULT-precision
+    (1-pass bf16) matmuls whose f32 accumulation is exact per pass.  Mosaic
+    lowers only DEFAULT and HIGHEST dot precisions, so this hand-rolled
+    split is the only way to get f32-accurate triangular scans at a
+    fraction of the MXU cost.
+
+    passes=2 drops the ``lo`` term: per-element error <= 2^-18 |x_i|.  For
+    SAME-SIGN rows (the log-domain transmittance scan: all logs <= 0) the
+    row-sum error is therefore <= 2^-18 |row sum| — use 2 passes there and
+    3 wherever terms can cancel (gradient suffix sums).
+
+    passes=1 is plain bf16 — only for interpret/CPU where DEFAULT dot is
+    exact f32."""
 
     def mm(a):
         return jax.lax.dot_general(
@@ -73,10 +81,20 @@ def _tri_matmul_f32(x: jnp.ndarray, tri: jnp.ndarray) -> jnp.ndarray:
             preferred_element_type=jnp.float32,
         )
 
+    if passes == 1:
+        return mm(x)
+    hi = x.astype(jnp.bfloat16).astype(jnp.float32)
+    rem = x - hi
+    mid = rem.astype(jnp.bfloat16).astype(jnp.float32)
+    if passes == 2:
+        return mm(hi) + mm(mid)
+    lo = rem - mid
     return mm(hi) + mm(mid) + mm(lo)
 
 
-def _exclusive_cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
+def _exclusive_cumprod_lanes(
+    x: jnp.ndarray, exact: bool = False
+) -> jnp.ndarray:
     """Exclusive prefix product along axis 1 (the splat/lane axis).
 
     cumprod has no Pallas TPU lowering, and the roll-based Hillis-Steele
@@ -86,18 +104,28 @@ def _exclusive_cumprod_lanes(x: jnp.ndarray) -> jnp.ndarray:
     prefix_i = exp(sum_{j<i} log x_j).  x is a transmittance factor in
     [0, 1]; zeros (alpha == 1 in the ball/billboard modes) are clamped to
     exp(-80) so the matmul never sees -inf (0 * -inf = NaN), and exp()
-    flushes the result back to exactly the right 0.  Max relative error of
-    the round-trip is ~3e-6 — far below the pipeline's f32 reassociation
-    noise."""
+    flushes the result back to exactly the right 0.
+
+    The logs are all <= 0 (same sign), so the 2-pass split matmul bounds
+    the prefix-sum error by 2^-18 of the prefix itself: for any pixel
+    above the 1e-4 early-stop the |log prefix| is <= ~9.2, i.e. the
+    transmittance is exact to ~7e-5 relative — far below the 5e-3
+    TPU-vs-oracle parity budget (PARITY.md), at 2/3 the MXU cost of the
+    3-pass split.  ``exact=True`` (interpret/CPU paths, where DEFAULT dot
+    precision is already exact f32) uses one plain pass so CPU tests pin
+    exact-f32 semantics."""
     s = x.shape[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     tri_excl = (ri < ci).astype(jnp.float32)  # [j, i] = 1 iff j < i
     logs = jnp.maximum(jnp.log(jnp.maximum(x, 1e-35)), -80.0)
-    return jnp.exp(_tri_matmul_f32(logs, tri_excl))
+    return jnp.exp(
+        _tri_matmul_f32(logs, tri_excl, passes=1 if exact else 2)
+    )
 
 
-def _chunk_blend(rows, px, py, rgb, trans, live, cfg: RenderConfig):
+def _chunk_blend(rows, px, py, rgb, trans, live, cfg: RenderConfig,
+                 exact_scan: bool = False):
     """Blend one (16, 128) attribute chunk into the tile accumulators.
 
     rows: (16, 128) — attribute-major chunk (row j = attribute j of 128
@@ -135,18 +163,22 @@ def _chunk_blend(rows, px, py, rgb, trans, live, cfg: RenderConfig):
             alpha = jnp.where(keep & (alpha > cfg.ball_threshold), 1.0, 0.0)
 
     one_m = 1.0 - alpha  # (P, S)
-    prefix = _exclusive_cumprod_lanes(one_m)
+    prefix = _exclusive_cumprod_lanes(one_m, exact=exact_scan)
     w = alpha * prefix * trans  # absolute blend weights
 
     # per-fragment darkening of GAUSSIAN_BALL (gau_frag.glsl:37) folds into
     # the weights; color itself is per-splat
     w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
-    # (P, S) x (S, 3) on the MXU
-    rgb = rgb + jax.lax.dot_general(
-        w_c,
-        colors,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
+    # per-channel lane reductions on the VPU: exact f32 (a DEFAULT-precision
+    # dot_general is one bf16 MXU pass — a 0.4% color error — and HIGHEST
+    # costs 6 passes; the k=3 contraction is VPU-cheap and overlaps the MXU
+    # prefix matmul)
+    rgb = rgb + jnp.concatenate(
+        [
+            jnp.sum(w_c * colors[c : c + 1, :], axis=1, keepdims=True)
+            for c in range(3)
+        ],
+        axis=1,
     )
     trans = trans * prefix[:, -1:] * one_m[:, -1:]
     return rgb, trans
@@ -158,12 +190,24 @@ def _fwd_kernel(
     rowoff_ref,  # scalar prefetch: (1,) i32 tile-row offset of this shard
     table_ref,  # HBM/ANY: (16, Dpad) f32, attribute-major
     out_ref,  # VMEM block: (1, P, 4) — rgb cols 0..2, transmittance col 3
-    scratch,  # VMEM: (N_BUF, 16, CHUNK)
-    sems,  # DMA semaphores (N_BUF,)
-    *,
+    *rest,  # with_ckpt: nproc_ref, ckpt_ref, then scratch/sems
     cfg: RenderConfig,
     row_stride: int = 1,
+    with_ckpt: bool = False,
+    exact_scan: bool = False,
 ):
+    if with_ckpt:
+        # nproc: (T,) i32 SMEM processed-chunk counts; ckpt: (2, Dpad) f32
+        # per-128-block ENTERING transmittance (stored at the block's OWN
+        # column window, (P,1) carry relaid out as (2, 128)) — the backward
+        # kernel reads these to traverse back-to-front without recomputing
+        # the forward transmittance chain (and without the gdot_out -
+        # prefix cancellation, see tile_raster_bwd.py).  Column-window
+        # storage keeps every checkpoint DMA lane-aligned (Mosaic bans
+        # unaligned slices along tiled dims).
+        (nproc_ref, ckpt_ref, scratch, sems, ckpt_scr, ckpt_sems) = rest
+    else:
+        (scratch, sems) = rest
     t = pl.program_id(0)
     nt = pl.num_programs(0)
     p = cfg.tile_size * cfg.tile_size
@@ -195,6 +239,30 @@ def _fwd_kernel(
             sems.at[slot],
         )
 
+    if with_ckpt:
+
+        def ckpt_put(slot, chunk_idx):
+            # ckpt columns [128b, 128b+128) hold the transmittance ENTERING
+            # flat 128-block b, but each block WRITES its EXITING
+            # transmittance at block b+1's columns — the shift means a tile
+            # never writes its own first block's window (entering value
+            # 1.0; the backward substitutes it), which is critical:
+            # adjacent tiles share boundary 128-blocks, and the unshifted
+            # scheme had a later tile's first-block write CLOBBER the
+            # previous tile's live interior checkpoint.  With the shift,
+            # tile B's writes start at column base_B + 128 > end_A - 1 =
+            # tile A's last LIVE column, so only dead overhang windows can
+            # collide (read under an all-false live mask -> zero gradient
+            # regardless).
+            offset = pl.multiple_of(
+                base + chunk_idx * CHUNK + SCAN_BLOCK, SEGMENT_ALIGN
+            )
+            return pltpu.make_async_copy(
+                ckpt_scr.at[slot],
+                ckpt_ref.at[:, pl.ds(offset, CHUNK)],
+                ckpt_sems.at[slot],
+            )
+
     # cross-tile prefetch: every grid step starts the NEXT tile's chunk 0
     # into slot 0 before exiting (scratch and semaphores persist across the
     # sequential TPU grid), so a tile's first DMA is cold only at t == 0 —
@@ -219,6 +287,12 @@ def _fwd_kernel(
             get_dma(next_slot, ci + 1).start()
 
         get_dma(slot, ci).wait()
+        if with_ckpt:
+            # reclaim this ckpt staging slot (its put started N_BUF ago)
+            @pl.when(ci >= N_BUF)
+            def _():
+                ckpt_put(slot, ci - N_BUF).wait()
+
         rows = scratch[slot]  # (16, CHUNK)
         for bi in range(CHUNK // SCAN_BLOCK):
             col = base + ci * CHUNK + bi * SCAN_BLOCK
@@ -228,8 +302,16 @@ def _fwd_kernel(
             live = (col >= start) & (col < end)
             rgb, trans = _chunk_blend(
                 rows[:, bi * SCAN_BLOCK : (bi + 1) * SCAN_BLOCK],
-                px, py, rgb, trans, live, cfg,
+                px, py, rgb, trans, live, cfg, exact_scan,
             )
+            if with_ckpt:
+                # EXITING transmittance of this scan block (lands at the
+                # NEXT block's ckpt columns, see ckpt_put)
+                ckpt_scr[
+                    slot, :, bi * SCAN_BLOCK : (bi + 1) * SCAN_BLOCK
+                ] = trans.reshape(2, SCAN_BLOCK)
+        if with_ckpt:
+            ckpt_put(slot, ci).start()
         return ci + 1, rgb, trans
 
     rgb = jnp.zeros((p, 3), jnp.float32)
@@ -240,6 +322,17 @@ def _fwd_kernel(
     @pl.when(ci < num_chunks)
     def _():
         get_dma(jax.lax.rem(ci, N_BUF), ci).wait()
+
+    if with_ckpt:
+        nproc_ref[t] = ci
+        # drain outstanding checkpoint puts before the grid step ends (the
+        # NEXT tile reuses the staging slots; its backward may read rows
+        # this tile just wrote)
+        for k in range(N_BUF):
+
+            @pl.when(ci >= k + 1)
+            def _(k=k):
+                ckpt_put(jax.lax.rem(ci - 1 - k, N_BUF), ci - 1 - k).wait()
 
     # start the next tile's first chunk (see comment above); all of this
     # tile's gets have drained, so slot 0 is free
@@ -287,30 +380,83 @@ def rasterize_binned_pallas_soa(
 ):
     """Same as rasterize_binned_pallas but taking the attribute-major
     (16, Dpad) table directly (no transpose)."""
+    out = _rasterize_impl(
+        table_soa, starts, counts, row_offset, cfg, local_rows,
+        row_stride, with_ckpt=False,
+    )
+    return out[0][:, :, 0:3], out[0][:, :, 3]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
+def rasterize_binned_pallas_train(
+    table_soa, starts, counts, row_offset, cfg: RenderConfig,
+    local_rows: int | None = None, row_stride: int = 1,
+):
+    """Training forward: like rasterize_binned_pallas_soa but ALSO emits
+    the backward kernel's residuals — (rgb, trans, ckpt, nproc) where
+    ckpt (NBLK, P) holds each 128-block's entering transmittance and
+    nproc (T,) the per-tile processed-chunk count, letting the backward
+    traverse back-to-front (see tile_raster_bwd.py)."""
+    out, nproc, ckpt = _rasterize_impl(
+        table_soa, starts, counts, row_offset, cfg, local_rows,
+        row_stride, with_ckpt=True,
+    )
+    return out[:, :, 0:3], out[:, :, 3], ckpt, nproc
+
+
+def _rasterize_impl(
+    table_soa, starts, counts, row_offset, cfg: RenderConfig,
+    local_rows, row_stride, with_ckpt: bool,
+):
     p = cfg.tile_size * cfg.tile_size
     if local_rows is None:
         local_rows = cfg.tiles_y
     num_tiles = local_rows * cfg.tiles_x
     rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    interpret = jax.default_backend() == "cpu"
+
+    out_specs = [
+        pl.BlockSpec(
+            (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+    ]
+    out_shapes = [jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32)]
+    scratch_shapes = [
+        pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
+        pltpu.SemaphoreType.DMA((N_BUF,)),
+    ]
+    if with_ckpt:
+        # per-tile scalar counts live in SMEM (full-array spec: (1, 1)
+        # VMEM blocks are not lowerable)
+        out_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shapes.append(jax.ShapeDtypeStruct((num_tiles,), jnp.int32))
+        out_specs.append(pl.BlockSpec(memory_space=pl.ANY))
+        out_shapes.append(
+            jax.ShapeDtypeStruct(
+                (p // SCAN_BLOCK, table_soa.shape[1]), jnp.float32
+            )
+        )
+        scratch_shapes += [
+            pltpu.VMEM((N_BUF, p // SCAN_BLOCK, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
-            pltpu.SemaphoreType.DMA((N_BUF,)),
-        ],
+        out_specs=out_specs,
+        scratch_shapes=scratch_shapes,
     )
 
-    out = pl.pallas_call(
-        functools.partial(_fwd_kernel, cfg=cfg, row_stride=row_stride),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, p, 4), jnp.float32),
+    return pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, cfg=cfg, row_stride=row_stride,
+            with_ckpt=with_ckpt, exact_scan=interpret,
+        ),
+        out_shape=out_shapes,
         grid_spec=grid_spec,
-        interpret=(jax.default_backend() == "cpu"),
+        interpret=interpret,
     )(starts, counts, rowoff, table_soa)
-
-    return out[:, :, 0:3], out[:, :, 3]

@@ -82,14 +82,20 @@ def main():
     print(f"fwd kernel AoS (incl .T) {tA:7.1f} ms  SoA {tB:7.1f} ms  "
           f"transpose {tA - tB:+6.1f}", flush=True)
 
-    rgb, trans = fB(table_soa)
+    from gaussiansplattingviewer_tpu.ops.pallas.tile_raster_fwd import (
+        rasterize_binned_pallas_train,
+    )
+
+    rgb, trans, ckpt, nproc = rasterize_binned_pallas_train(
+        table_soa, starts, counts, r0, cfg
+    )
     g_rgb = jnp.ones_like(rgb)
     g_trans = jnp.zeros_like(trans)
     bA = jax.jit(lambda t: blend_bwd_pallas(
-        t, starts, counts, r0, g_rgb, g_trans, rgb, trans, cfg
+        t, starts, counts, nproc, ckpt, r0, g_rgb, g_trans, trans, cfg
     ))
     bB = jax.jit(lambda t: blend_bwd_pallas_soa(
-        t, starts, counts, r0, g_rgb, g_trans, rgb, trans, cfg
+        t, starts, counts, nproc, ckpt, r0, g_rgb, g_trans, trans, cfg
     ))
     tbA = timeit(bA, table)
     tbB = timeit(bB, table_soa)

@@ -1,33 +1,124 @@
-"""Compare TPU-pallas grads vs CPU-tile grads for the same scene."""
-import numpy as np, jax, jax.numpy as jnp
-from gaussiansplattingviewer_tpu.config import RenderConfig
-from gaussiansplattingviewer_tpu.models import random_scene
-from gaussiansplattingviewer_tpu.ops.render import render
-from gaussiansplattingviewer_tpu.utils import transforms as tf
-from gaussiansplattingviewer_tpu.utils.camera import Camera
+"""TPU Pallas-vs-XLA parity check: forward image + per-field gradients.
 
-cfg = RenderConfig(width=256, height=192)
-scene = random_scene(5_000, sh_degree=1, seed=1, extent=2.0, mean_scale=0.04)
-cam = Camera(h=cfg.height, w=cfg.width); cam.fovy = 1.0
-view = np.asarray(tf.look_at(np.array([0,0,6.0]), np.zeros(3), [0,-1,0]), np.float32)
-proj = np.asarray(cam.get_project_matrix(), np.float32)
-cam_pos = np.array([0,0,6.0], np.float32)
+Runs the SAME scene through the Pallas kernel path and the XLA-tile
+executor on the SAME device and compares forward pixels and every
+gradient field.  This is the Mosaic-lowering smoke test the CPU suite
+cannot provide (CPU runs the kernels in interpret mode) plus the
+gradient-parity artifact for BASELINE's "pixel-grad allclose" bar.
 
-def loss_fn(s, backend):
-    img = render(s, view, proj, cam_pos, cfg, backend=backend)
-    return jnp.mean(img * img)
+--ci: assert thresholds and write PARITY_TPU.json for the round record.
 
-dev_scene = scene.to_device()
-# TPU pallas forward + grads
-img_tpu = np.asarray(render(dev_scene, view, proj, cam_pos, cfg, backend="pallas"))
-g_tpu = jax.grad(lambda s: loss_fn(s, "pallas"))(dev_scene)
-g_tpu = jax.tree.map(np.asarray, g_tpu)
-# TPU tile (XLA, no pallas) as a second reference on the same device
-img_tile = np.asarray(render(dev_scene, view, proj, cam_pos, cfg, backend="tile"))
-g_tile = jax.tree.map(np.asarray, jax.grad(lambda s: loss_fn(s, "tile"))(dev_scene))
+Thresholds and what limits them (see PERF.md / PARITY.md):
+  * forward max|diff| < 5e-4 — the scan log/exp round-trip (~3e-6
+    relative) plus at most ONE alpha_min-cutoff fragment flip: XLA's and
+    Mosaic's exp() differ in the last ulp, so a fragment sitting exactly
+    on the 1/255 alpha cutoff (gau_frag.glsl:25) can be kept by one
+    backend and dropped by the other — a discrete, alpha_min-bounded
+    event, not accumulating error.
+  * per-field gradient 99th-percentile relative error < 5e-4 — the
+    smooth-path agreement (measured ~1e-4: suffix accumulation + exact
+    VPU contractions landed xyz two orders below round 2's 4.3e-3).
+  * per-field MAX relative error < 2e-3 — max-norm is dominated by the
+    same single-fragment cutoff flips (measured ~1.0e-3).
 
-print("fwd pallas vs tile max|diff|:", np.abs(img_tpu - img_tile).max())
-for name in ("xyz", "scale", "rot", "opacity", "sh"):
-    a, b = getattr(g_tpu, name), getattr(g_tile, name)
-    denom = np.abs(b).max() + 1e-12
-    print(f"grad {name:8s}: max|pallas-tile|={np.abs(a-b).max():.3e}  rel={np.abs(a-b).max()/denom:.3e}  |tile|max={np.abs(b).max():.3e}")
+The bf16 gradient fold (cfg.grad_fold_bf16, default on) is disabled here:
+both backends share the fold, but rounding near-equal values to bf16
+amplifies sub-ulp kernel differences to full bf16 ulps, so it would
+measure the fold, not the kernels.
+"""
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ci", action="store_true",
+                    help="assert thresholds; write PARITY_TPU.json")
+    ap.add_argument("--n-splats", type=int, default=5_000)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from gaussiansplattingviewer_tpu.config import RenderConfig
+    from gaussiansplattingviewer_tpu.models import random_scene
+    from gaussiansplattingviewer_tpu.ops.render import render
+    from gaussiansplattingviewer_tpu.utils import transforms as tf
+    from gaussiansplattingviewer_tpu.utils.camera import Camera
+
+    cfg = RenderConfig(width=256, height=192, grad_fold_bf16=False)
+    scene = random_scene(
+        args.n_splats, sh_degree=1, seed=1, extent=2.0, mean_scale=0.04
+    )
+    cam = Camera(h=cfg.height, w=cfg.width)
+    cam.fovy = 1.0
+    view = np.asarray(
+        tf.look_at(np.array([0, 0, 6.0]), np.zeros(3), [0, -1, 0]),
+        np.float32,
+    )
+    proj = np.asarray(cam.get_project_matrix(), np.float32)
+    cam_pos = np.array([0, 0, 6.0], np.float32)
+
+    def loss_fn(s, backend):
+        img = render(s, view, proj, cam_pos, cfg, backend=backend)
+        return jnp.mean(img * img)
+
+    dev_scene = scene.to_device()
+    img_tpu = np.asarray(
+        render(dev_scene, view, proj, cam_pos, cfg, backend="pallas")
+    )
+    g_tpu = jax.grad(lambda s: loss_fn(s, "pallas"))(dev_scene)
+    g_tpu = jax.tree.map(np.asarray, g_tpu)
+    img_tile = np.asarray(
+        render(dev_scene, view, proj, cam_pos, cfg, backend="tile")
+    )
+    g_tile = jax.tree.map(
+        np.asarray, jax.grad(lambda s: loss_fn(s, "tile"))(dev_scene)
+    )
+
+    fwd_max = float(np.abs(img_tpu - img_tile).max())
+    result = {
+        "backend": jax.default_backend(),
+        "config": {"n_splats": args.n_splats, "width": cfg.width,
+                   "height": cfg.height, "grad_fold_bf16": False},
+        "fwd_max_abs_diff": fwd_max,
+        "fields": {},
+    }
+    print(f"fwd pallas vs tile max|diff|: {fwd_max:.3e}")
+    for name in ("xyz", "scale", "rot", "opacity", "sh"):
+        a, b = getattr(g_tpu, name), getattr(g_tile, name)
+        denom = float(np.abs(b).max()) + 1e-12
+        d = np.abs(a - b).reshape(a.shape[0], -1).max(axis=1)
+        rel_max = float(d.max() / denom)
+        rel_p99 = float(np.quantile(d / denom, 0.99))
+        result["fields"][name] = {
+            "rel_max": rel_max, "rel_p99": rel_p99,
+            "abs_max": float(d.max()), "grad_scale": denom,
+        }
+        print(
+            f"grad {name:8s}: rel_max={rel_max:.3e}  rel_p99={rel_p99:.3e}"
+            f"  |tile|max={denom:.3e}"
+        )
+
+    if args.ci:
+        assert jax.default_backend() == "tpu", "run --ci on the TPU"
+        ok = fwd_max < 5e-4
+        for name, f in result["fields"].items():
+            ok &= f["rel_max"] < 2e-3 and f["rel_p99"] < 5e-4
+        result["pass"] = bool(ok)
+        out = os.path.join(
+            os.path.dirname(__file__), "..", "PARITY_TPU.json"
+        )
+        with open(out, "w") as fh:
+            json.dump(result, fh, indent=1)
+        print(f"wrote PARITY_TPU.json  pass={ok}")
+        if not ok:
+            raise SystemExit(1)
+
+
+if __name__ == "__main__":
+    main()
