@@ -91,6 +91,9 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--save-poses", default=None,
                     help="append rendered camera poses to this CSV "
                          "(front,up,position triplets like main.py:418-434)")
+    ap.add_argument("--debug", action="store_true",
+                    help="sanitizer mode: per-frame finiteness + binning "
+                         "overflow diagnostics (RenderConfig.debug)")
     ap.add_argument("--poses-csv", default=None,
                     help="replay poses recorded in a camera_data.csv "
                          "(9 columns: front, up, position)")
@@ -101,7 +104,8 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     import jax
 
-    from gaussiansplattingviewer_tpu.ops.render import render
+    from gaussiansplattingviewer_tpu.ops.render import render as _render
+    from gaussiansplattingviewer_tpu.ops.render import render_with_aux
 
     backend = args.backend or (
         "pallas" if jax.default_backend() == "tpu" else "tile"
@@ -116,7 +120,24 @@ def main(argv=None) -> int:
         height=args.height,
         mode=MODE_NAMES[args.mode],
         scale_modifier=args.scale_modifier,
+        debug=args.debug,
     )
+
+    def render(*a, **kw):
+        if not args.debug:
+            return _render(*a, **kw)
+        img, aux = render_with_aux(*a, **kw)
+        bad = {
+            k: int(aux[k])
+            for k in (
+                "nonfinite_splats", "nonfinite_pixels", "overflow",
+                "truncated",
+            )
+            if k in aux and int(aux[k]) > 0
+        }
+        if bad:
+            print(f"DEBUG diagnostics: {bad}", file=sys.stderr)
+        return img
     cam = Camera(h=cfg.height, w=cfg.width)
     if args.fovy:
         cam.fovy = args.fovy

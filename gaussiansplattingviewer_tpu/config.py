@@ -145,6 +145,13 @@ class RenderConfig:
         (~20-40% of live duplicates vs. the reference's AABB-only
         duplication).  Disabled automatically in BILLBOARD mode (alpha=1
         inside the quad).
+      debug: sanitizer mode — render_with_aux additionally reports
+        ``nonfinite_splats`` (valid splats whose projected mean2d / conic /
+        color / opacity / depth / radius contain NaN or Inf) and
+        ``nonfinite_pixels`` (non-finite output pixels), alongside the
+        always-on overflow/truncated binning counters.  apps/viewer.py
+        --debug prints the diagnostic per frame.  Costs one extra pass over
+        the projected splats and the image; off by default.
     """
 
     width: int = 1160
@@ -176,6 +183,7 @@ class RenderConfig:
     early_stop_transmittance: float = 1e-4
     tight_culling: bool = True
     grad_fold_bf16: bool = True
+    debug: bool = False
 
     @property
     def tiles_x(self) -> int:

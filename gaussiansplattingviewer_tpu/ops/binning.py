@@ -733,8 +733,11 @@ def bin_splats(
     # Tile t's rows are [starts[t], starts[t+1]); segments are NOT padded —
     # the blend kernels read lane-ALIGNED 128-row windows around each
     # segment and mask the out-of-range rows.  Sentinel entries sort to the
-    # tail, outside every range; a CHUNK of physical padding keeps the
-    # kernels' last aligned window in bounds.
+    # tail, outside every range; TABLE_PAD tail rows keep the kernels' last
+    # aligned window in bounds — the tightest consumer is the train
+    # forward's SHIFTED checkpoint put, which needs
+    # TABLE_PAD >= KERNEL_CHUNK + SCAN_BLOCK (asserted in
+    # tile_raster_fwd.py at import).
     budget = cfg.table_budget_rows or cfg.table_budget_factor * n
     cap_mat = min(cap, budget)
     truncated = jnp.maximum(total - cap_mat, 0)

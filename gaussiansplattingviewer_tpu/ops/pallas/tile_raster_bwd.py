@@ -123,9 +123,13 @@ def _block_grads(
             unclamped = keep & (raw < cfg.alpha_clamp)
 
     one_m = 1.0 - alpha
-    # bit-identical to the forward's within-block prefix (same 2-pass
-    # log-domain matmul); t_block is the forward's exact carry, so t_i
-    # here matches the forward's transmittance exactly
+    # t_block is the forward's exact carry and the prefix uses the same
+    # 2-pass log-domain matmul, so t_i matches the forward up to ONE
+    # rounding of the coordinate-frame shift: the forward computes
+    # dx = px - cx in the global frame while this recompute uses the
+    # tile-local (px-ox) - (cx-ox); the ulp-level difference can flip a
+    # fragment sitting exactly on the alpha_min / in_rect cutoffs (a
+    # discrete, alpha_min-bounded event — see scripts/tpu_gradcheck.py)
     prefix = _exclusive_cumprod_lanes(one_m, exact=exact_scan)
     t_i = prefix * t_block  # (P, S)
     w = alpha * t_i
@@ -291,8 +295,8 @@ def _bwd_kernel(
 
     # reverse iteration: step k processes chunk ci = nproc - 1 - k;
     # DMA slots are indexed by k so consecutive steps alternate buffers
-    def chunk_of(k, np_=None):
-        return (nproc if np_ is None else np_) - 1 - k
+    def chunk_of(k):
+        return nproc - 1 - k
 
     def get_dma(slot, chunk_idx, tile_base=None):
         offset = pl.multiple_of(

@@ -50,6 +50,15 @@ from gaussiansplattingviewer_tpu.ops.binning import (
 CHUNK = KERNEL_CHUNK
 N_BUF = 2  # double buffering
 
+# The train variant's SHIFTED checkpoint puts (ckpt_put below) write at
+# base + ci*CHUNK + SCAN_BLOCK with extent CHUNK, so the LAST put of a
+# segment can extend up to CHUNK + SCAN_BLOCK - 1 columns past the
+# segment end — binning's physical tail padding must cover that.
+assert binning.TABLE_PAD >= KERNEL_CHUNK + SCAN_BLOCK, (
+    "TABLE_PAD must cover the shifted checkpoint put "
+    "(ckpt_put writes at +SCAN_BLOCK with CHUNK extent)"
+)
+
 
 def _tri_matmul_f32(
     x: jnp.ndarray, tri: jnp.ndarray, passes: int = 3

@@ -145,5 +145,12 @@ def rasterize_oracle(
     (rgb, T), _ = jax.lax.scan(body, init, jnp.arange(n_chunks))
     out = rgb + cfg.background * T[..., None]
     if return_aux:
-        return out, {"transmittance": T}
+        aux = {"transmittance": T}
+        if cfg.debug:
+            from gaussiansplattingviewer_tpu.ops.raster_tiles import (
+                debug_counters,
+            )
+
+            aux.update(debug_counters(splats, out))
+        return out, aux
     return out

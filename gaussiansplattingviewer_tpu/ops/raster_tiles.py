@@ -35,6 +35,22 @@ def _tiles_to_image(rgb_tiles, trans_tiles, cfg: RenderConfig):
     return img[: cfg.height, : cfg.width], trans[: cfg.height, : cfg.width]
 
 
+def debug_counters(splats: ProjectedSplats, img):
+    """Sanitizer counters for cfg.debug: non-finite valid splats after
+    projection and non-finite output pixels.  A NaN scene parameter (bad
+    checkpoint, diverged training step) surfaces here as a scalar
+    diagnostic instead of a silently black/poisoned image."""
+    finite = jnp.ones_like(splats.valid)
+    for field in (
+        splats.mean2d, splats.conic, splats.color, splats.radius,
+        splats.depth[:, None], splats.opacity[:, None],
+    ):
+        finite = finite & jnp.all(jnp.isfinite(field), axis=-1)
+    bad_splats = jnp.sum(splats.valid & ~finite).astype(jnp.int32)
+    bad_pixels = jnp.sum(~jnp.isfinite(img)).astype(jnp.int32)
+    return {"nonfinite_splats": bad_splats, "nonfinite_pixels": bad_pixels}
+
+
 def rasterize_tiles(
     splats: ProjectedSplats,
     cfg: RenderConfig,
@@ -58,10 +74,13 @@ def rasterize_tiles(
     img, trans = _tiles_to_image(rgb_tiles, trans_tiles, cfg)
     img = img + cfg.background * trans[..., None]
     if return_aux:
-        return img, {
+        aux = {
             "transmittance": trans,
             "num_duplicates": binned.num_duplicates,
             "overflow": binned.overflow,
             "truncated": binned.truncated,
         }
+        if cfg.debug:
+            aux.update(debug_counters(splats, img))
+        return img, aux
     return img
