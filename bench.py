@@ -12,16 +12,25 @@ them (the tunneled backend charges ~45 ms per program boundary on the 236MB
 gradient pytree, which no real training loop pays per step; see PERF.md).
 ``--no-fuse`` falls back to one grad() program per step.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", plus
+"garden_ms_frame"/"garden_mpix_s" — the same fwd+bwd step on the
+garden-scale 5.8M-splat scene, the workload BASELINE.json metric 1
+names — and "parity_pass" when the per-round TPU gradient-parity check
+(scripts/tpu_gradcheck.py --ci) ran}.
+
 vs_baseline divides by 36.6 Mpix/s — the reference viewer's estimated
 FORWARD-ONLY throughput (0.61 Mpix at ~60 fps, README.md:46's "comparable
 to the official CUDA renderer"; it publishes no numbers, BASELINE.md) —
 while this measures forward+BACKWARD+update, so >1.0 means the
 differentiable TPU path beats the reference's display-only path.
+
+--no-garden / --no-parity skip the extra sections (e.g. for quick A/B
+runs); the plain ``python bench.py`` the driver invokes runs everything.
 """
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -49,6 +58,11 @@ def main():
                     "resolution (1160x522, main.py:634-635) FORWARD-ONLY — "
                     "the apples-to-apples frame time against its ~60 fps "
                     "display loop")
+    ap.add_argument("--no-garden", action="store_true",
+                    help="skip the garden-scale (5.8M splat) second "
+                    "measurement recorded in the JSON line")
+    ap.add_argument("--no-parity", action="store_true",
+                    help="skip regenerating PARITY_TPU.json")
     args = ap.parse_args()
     if args.ref_reso:
         args.width, args.height = 1160, 522
@@ -67,12 +81,7 @@ def main():
         "pallas" if jax.default_backend() == "tpu" else "tile"
     )
 
-    cfg = RenderConfig(width=args.width, height=args.height)
-    if args.ply:
-        scene, bbox, center = load_ply(args.ply)
-        eye = center + np.array([0, 0, 3.0])
-        look = center
-    elif args.garden:
+    def make_garden():
         # garden-scale worst case: 5.8M splats (the size of the MipNeRF-360
         # garden PLY at iteration_30000, /root/reference/main.py:722) with
         # trained-3DGS-like anisotropy (per-axis log-normal, axis ratios up
@@ -81,69 +90,20 @@ def main():
             5_800_000, sh_degree=3, seed=0, extent=6.0, mean_scale=0.012,
             anisotropy=1.0, opacity_mix=True,
         )
-        eye = np.array([0, 0, 11.0])
-        look = np.zeros(3)
+        return scene, np.array([0, 0, 11.0]), np.zeros(3)
+
+    if args.ply:
+        scene, bbox, center = load_ply(args.ply)
+        eye = center + np.array([0, 0, 3.0])
+        look = center
+    elif args.garden:
+        scene, eye, look = make_garden()
     else:
         scene = random_scene(
             args.n_splats, sh_degree=3, seed=0, extent=4.0, mean_scale=0.015
         )
         eye = np.array([0, 0, 9.0])
         look = np.zeros(3)
-    scene = scene.pad_to_multiple(1024).to_device()
-
-    cam = Camera(h=cfg.height, w=cfg.width)
-    cam.fovy = 1.0  # wide enough to see most of the synthetic box
-    view = jnp.asarray(tf.look_at(eye, look, [0, -1, 0]))
-    proj = jnp.asarray(cam.get_project_matrix())
-    cam_pos = jnp.asarray(np.asarray(eye, dtype=np.float32))
-
-    if not args.no_autotune:
-        # per-scene pool tuning (ops/autotune.py): one cheap projection
-        # pass sizes the duplicate-slot pools to the scene's footprint
-        # histogram so sort/gather/fold volume tracks live duplicates.
-        # Output is bit-identical (tests/test_autotune.py); this is the
-        # per-scene setup cost any scene-static renderer pays once.
-        from gaussiansplattingviewer_tpu.ops.autotune import autotune
-
-        cfg = autotune(scene, [view], [proj], [cam_pos], cfg, probe=True)
-        print(
-            f"# autotuned: k1={cfg.dense_small_slots} "
-            f"ladder={cfg.pool_ladder} huge={cfg.pool_huge_entries} "
-            f"table_rows={cfg.table_budget_rows}",
-            file=sys.stderr,
-        )
-
-    def loss_fn(sc):
-        img = render(sc, view, proj, cam_pos, cfg, backend=backend)
-        return jnp.sum(img * img)
-
-    if args.forward_only:
-        frames_per_call = 1
-
-        @jax.jit
-        def step(sc):
-            return render(sc, view, proj, cam_pos, cfg, backend=backend)
-
-    elif args.no_fuse:
-        frames_per_call = 1
-        step = jax.jit(jax.grad(loss_fn))
-    else:
-        # the whole timed loop as ONE program: lax.scan over SGD steps, so
-        # the 236MB gradient pytree never crosses a program boundary
-        frames_per_call = args.iters
-        lr = 1e-12  # keep the scene statistically unchanged across steps
-
-        def train_step(sc, _):
-            loss, grads = jax.value_and_grad(loss_fn)(sc)
-            sc = jax.tree.map(lambda p, g: p - lr * g, sc, grads)
-            return sc, loss
-
-        @jax.jit
-        def step(sc):
-            sc, losses = jax.lax.scan(
-                train_step, sc, None, length=args.iters
-            )
-            return losses
 
     def hard_sync(out):
         # jax.block_until_ready can return early on tunneled/remote
@@ -151,22 +111,89 @@ def main():
         leaf = jax.tree.leaves(out)[0]
         np.asarray(leaf.reshape(-1)[:4])
 
-    calls = 1 if frames_per_call > 1 else args.iters
+    def measure(scene, eye, look, iters):
+        """Autotune + time the configured step on one scene.
 
-    # warmup / compile
-    for _ in range(max(args.warmup, 1) if frames_per_call == 1 else 1):
-        out = step(scene)
-    hard_sync(out)
+        Returns (mpix_s, ms_frame, n_splats)."""
+        scene = scene.pad_to_multiple(1024).to_device()
+        cfg = RenderConfig(width=args.width, height=args.height)
+        cam = Camera(h=cfg.height, w=cfg.width)
+        cam.fovy = 1.0  # wide enough to see most of the synthetic box
+        view = jnp.asarray(tf.look_at(eye, look, [0, -1, 0]))
+        proj = jnp.asarray(cam.get_project_matrix())
+        cam_pos = jnp.asarray(np.asarray(eye, dtype=np.float32))
 
-    t0 = time.perf_counter()
-    for _ in range(calls):
-        out = step(scene)
-    hard_sync(out)
-    dt = time.perf_counter() - t0
+        if not args.no_autotune:
+            # per-scene pool tuning (ops/autotune.py): one cheap projection
+            # pass sizes the duplicate-slot pools to the scene's footprint
+            # histogram so sort/gather/fold volume tracks live duplicates.
+            # Output is bit-identical (tests/test_autotune.py); this is the
+            # per-scene setup cost any scene-static renderer pays once.
+            from gaussiansplattingviewer_tpu.ops.autotune import autotune
 
-    frames = calls * frames_per_call
-    mpix = cfg.width * cfg.height / 1e6
-    mpix_s = mpix * frames / dt
+            cfg = autotune(scene, [view], [proj], [cam_pos], cfg, probe=True)
+            print(
+                f"# autotuned: k1={cfg.dense_small_slots} "
+                f"ladder={cfg.pool_ladder} huge={cfg.pool_huge_entries} "
+                f"table_rows={cfg.table_budget_rows}",
+                file=sys.stderr,
+            )
+
+        def loss_fn(sc):
+            img = render(sc, view, proj, cam_pos, cfg, backend=backend)
+            return jnp.sum(img * img)
+
+        if args.forward_only:
+            frames_per_call = 1
+
+            @jax.jit
+            def step(sc):
+                return render(sc, view, proj, cam_pos, cfg, backend=backend)
+
+        elif args.no_fuse:
+            frames_per_call = 1
+            step = jax.jit(jax.grad(loss_fn))
+        else:
+            # the whole timed loop as ONE program: lax.scan over SGD steps,
+            # so the 236MB gradient pytree never crosses a program boundary
+            frames_per_call = iters
+            lr = 1e-12  # keep the scene statistically unchanged
+
+            def train_step(sc, _):
+                loss, grads = jax.value_and_grad(loss_fn)(sc)
+                sc = jax.tree.map(lambda p, g: p - lr * g, sc, grads)
+                return sc, loss
+
+            @jax.jit
+            def step(sc):
+                sc, losses = jax.lax.scan(
+                    train_step, sc, None, length=iters
+                )
+                return losses
+
+        calls = 1 if frames_per_call > 1 else iters
+
+        # warmup / compile
+        for _ in range(max(args.warmup, 1) if frames_per_call == 1 else 1):
+            out = step(scene)
+        hard_sync(out)
+
+        t0 = time.perf_counter()
+        for _ in range(calls):
+            out = step(scene)
+        hard_sync(out)
+        dt = time.perf_counter() - t0
+
+        frames = calls * frames_per_call
+        mpix = cfg.width * cfg.height / 1e6
+        print(
+            f"# backend={backend} n={len(scene)} {cfg.width}x{cfg.height} "
+            f"frames={frames} time={dt:.2f}s ms/frame={dt/frames*1000:.1f}",
+            file=sys.stderr,
+        )
+        return mpix * frames / dt, dt / frames * 1000, len(scene)
+
+    mpix_s, ms_frame, _ = measure(scene, eye, look, args.iters)
     ref_forward_only_mpix_s = 36.6  # see module docstring
     result = {
         "metric": "Mpix/s/chip fwd+bwd 1080p"
@@ -176,12 +203,38 @@ def main():
         "unit": "Mpix/s",
         "vs_baseline": round(mpix_s / ref_forward_only_mpix_s, 3),
     }
-    print(json.dumps(result))
-    print(
-        f"# backend={backend} n={len(scene)} {cfg.width}x{cfg.height} "
-        f"frames={frames} time={dt:.2f}s ms/frame={dt/frames*1000:.1f}",
-        file=sys.stderr,
+
+    # the garden-scale second measurement (BASELINE.json metric 1 names the
+    # garden PLY): recorded as extra keys of the SAME JSON line so the
+    # driver's one-line artifact carries the workload the metric names.
+    run_garden = not (
+        args.no_garden or args.garden or args.ply or args.forward_only
+        or args.ref_reso
     )
+    if run_garden:
+        g_scene, g_eye, g_look = make_garden()
+        g_mpix_s, g_ms, _ = measure(
+            g_scene, g_eye, g_look, min(args.iters, 4)
+        )
+        result["garden_ms_frame"] = round(g_ms, 1)
+        result["garden_mpix_s"] = round(g_mpix_s, 3)
+
+    # per-round TPU gradient-parity artifact (PARITY_TPU.json): run the
+    # hardware gradcheck so every BENCH_rN ships with fresh parity evidence
+    if not args.no_parity and jax.default_backend() == "tpu":
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(__file__) or ".", "scripts",
+                          "tpu_gradcheck.py"),
+             "--ci", "--bench-scale"],
+            capture_output=True, text=True, timeout=3600,
+        )
+        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+        result["parity_pass"] = proc.returncode == 0
+
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

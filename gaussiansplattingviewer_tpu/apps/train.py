@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--use-intrinsics", action="store_true",
                     help="projection from cameras.txt fx/fy/cx/cy (rescaled "
                     "to the render resolution) instead of the default lens")
+    ap.add_argument("--grad-fold-bf16", choices=["on", "off"], default="on",
+                    help="A/B switch for the packed-bf16 duplicate-gradient "
+                    "fold (config.grad_fold_bf16; default on = production "
+                    "config).  tests/test_train_quality.py gates the "
+                    "default on end-to-end self-distill quality")
     ap.add_argument("--autotune", action="store_true",
                     help="tune binning pools to the scene over the training "
                     "poses (ops/autotune.py) before compiling")
@@ -123,7 +128,10 @@ def main(argv=None) -> int:
     backend = args.backend or (
         "pallas" if jax.default_backend() == "tpu" else "tile"
     )
-    cfg = RenderConfig(width=args.width, height=args.height)
+    cfg = RenderConfig(
+        width=args.width, height=args.height,
+        grad_fold_bf16=(args.grad_fold_bf16 == "on"),
+    )
 
     scene, bbox, center = load_scene(args.gs_model)
     scene = scene.pad_to_multiple(256).to_device()
@@ -258,6 +266,10 @@ def main(argv=None) -> int:
         f"({dt / args.steps * 1000:.0f} ms/step)",
         file=sys.stderr,
     )
+    if args.loss == "l2":
+        # machine-readable quality line for A/B gates (targets are in
+        # [0,1], so mean L2 over views is an MSE and PSNR is meaningful)
+        print(f"final_psnr_db {-10.0 * np.log10(max(last, 1e-12)):.3f}")
     save_npz(scene, args.out)
     print(f"saved {args.out}", file=sys.stderr)
     return 0 if last <= first else 1

@@ -76,7 +76,7 @@ def _suffix_sum_strict(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
 
 def _block_grads(
     rows, live, gscratch, slot, bs, be, t_block, suffix,
-    px, py, ox, oy, basis, g_rgb, g_trans, out_trans,
+    px, py, ox, oy, basis, g_rgb, g_rgb_t, gto,
     cfg: RenderConfig, exact_scan: bool,
 ):
     """Gradient math for one (16, SCAN_BLOCK) block: recompute the forward
@@ -85,7 +85,9 @@ def _block_grads(
 
     rows: (16, S) attribute block; live: (1, S); t_block: (P, 1) the
     block's ENTERING transmittance (forward checkpoint); suffix: (P, 1)
-    sum of w_j (g.c_j) over all splats AFTER this block.
+    sum of w_j (g.c_j) over all splats AFTER this block; gto: (P, 1) the
+    tile-constant g_trans * out_trans (folded into the suffix division so
+    dl_da costs ONE (P, S) divide instead of two).
     """
     b = binning
     mode = int(cfg.mode)
@@ -148,29 +150,32 @@ def _block_grads(
     s_i = suf_in + suffix  # (P, S)
 
     one_m_safe = jnp.maximum(one_m, 1.0 - cfg.alpha_clamp)
-    dl_da = (
-        t_i * g_dot_c
-        - s_i / one_m_safe
-        - g_trans * out_trans / one_m_safe
-    )
+    # dL/da_i = t_i (g.c_i) - (S_i + g_T T_fin) / (1 - a_i): the g_T term
+    # rides inside the suffix division (gto is tile-constant), one (P, S)
+    # divide total
+    dl_da = t_i * g_dot_c - (s_i + gto) / one_m_safe
     dl_da = jnp.where(alpha > 0.0, dl_da, 0.0)
 
     zeros_blk = jnp.zeros((TABLE_WIDTH, SCAN_BLOCK), jnp.float32)
+    def color_grad(weights):
+        # g_col[c, s] = sum_p g_rgb[p, c] * weights[p, s]: ONE standard-form
+        # (3, P) @ (P, S) MXU matmul at HIGHEST (f32-exact, tiny at m=3)
+        # replaces 3 per-block sublane reductions (~32 register-row adds
+        # each); g_rgb_t is tile-constant
+        return jax.lax.dot_general(
+            g_rgb_t, weights,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (3, S)
+
     if mode in (
         RenderMode.BILLBOARD,
         RenderMode.FLAT_BALL,
         RenderMode.GAUSSIAN_BALL,
     ):
         w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
-        # per-channel sublane reductions (exact f32, no bf16 MXU pass,
-        # and no (S, 3) transpose)
-        g_col = jnp.concatenate(
-            [
-                jnp.sum(w_c * g_rgb[:, c : c + 1], axis=0, keepdims=True)
-                for c in range(3)
-            ],
-            axis=0,
-        )  # (3, S)
+        g_col = color_grad(w_c)
         gscratch[slot, :, bs:be] = zeros_blk
         gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = g_col
     else:
@@ -203,15 +208,7 @@ def _block_grads(
         g_cc = -0.5 * syy
         g_cx = ca * sx + cb * sy
         g_cy = cc * sy + cb * sx
-        # per-splat color grads as per-channel sublane reductions (exact
-        # f32, no bf16 MXU pass, no transpose)
-        g_col = jnp.concatenate(
-            [
-                jnp.sum(w * g_rgb[:, c : c + 1], axis=0, keepdims=True)
-                for c in range(3)
-            ],
-            axis=0,
-        )  # (3, S)
+        g_col = color_grad(w)
 
         gscratch[slot, :, bs:be] = zeros_blk
         gscratch[slot, b.COL_CX : b.COL_CX + 1, bs:be] = g_cx
@@ -292,6 +289,12 @@ def _bwd_kernel(
     g_rgb = g_ref[0, :, 0:3]  # (P, 3)
     g_trans = g_ref[0, :, 3:4]  # (P, 1)
     out_trans = out_res_ref[0, :, 0:1]  # (P, 1)
+    gto = g_trans * out_trans  # tile-constant, see _block_grads
+    # (3, P) transposed pixel cotangent for the color-grad matmuls (three
+    # (P,1)->(1,P) column transposes once per tile; Mosaic lowers these)
+    g_rgb_t = jnp.concatenate(
+        [g_rgb[:, c : c + 1].T for c in range(3)], axis=0
+    )
 
     # reverse iteration: step k processes chunk ci = nproc - 1 - k;
     # DMA slots are indexed by k so consecutive steps alternate buffers
@@ -418,8 +421,8 @@ def _bwd_kernel(
                 t_block = jnp.where(ci == 0, 1.0, t_block)
             suffix = _block_grads(
                 rows, live, gscratch, slot, bs, be, t_block, suffix,
-                px, py, ox, oy, basis, g_rgb, g_trans, out_trans,
-                cfg, exact_scan,
+                px, py, ox, oy, basis, g_rgb, g_rgb_t, gto, cfg,
+                exact_scan,
             )
         @pl.when(boundary)
         def _():

@@ -82,20 +82,46 @@ def main():
     )
 
     def scan_train(loss_fn):
-        def step(v, _):
-            l, g = jax.value_and_grad(loss_fn)(v)
-            v = jax.tree.map(lambda p, gg: p - lr * gg, v, g)
-            return v, l
+        # differentiate/update only inexact leaves (ProjectedSplats carries
+        # a bool `valid`)
+        def split(v):
+            leaves, td = jax.tree.flatten(v)
+            fl = [l for l in leaves if jnp.issubdtype(l.dtype, jnp.floating)]
+            def rebuild(fl):
+                it = iter(fl)
+                return jax.tree.unflatten(
+                    td,
+                    [next(it) if jnp.issubdtype(l.dtype, jnp.floating) else l
+                     for l in leaves],
+                )
+            return fl, rebuild
 
         def run(v0):
-            _, ls = jax.lax.scan(step, v0, None, length=ITERS)
+            fl, rebuild = split(v0)
+
+            def step2(fl, _):
+                l, g = jax.value_and_grad(lambda f: loss_fn(rebuild(f)))(fl)
+                fl = jax.tree.map(lambda p, gg: p - lr * gg, fl, g)
+                return fl, l
+
+            _, ls = jax.lax.scan(step2, fl, None, length=ITERS)
             return ls
 
         return jax.jit(run)
 
     def scan_fwd(loss_fn):
+        # the carry MUST change per iteration or XLA hoists the whole
+        # loop-invariant loss out of the scan (LICM) and the timing reads
+        # cost/ITERS; a 1e-38*loss perturbation of the first float leaf
+        # forces a real evaluation each step at negligible extra work
         def step(c, _):
-            return c, loss_fn(c)
+            l = loss_fn(c)
+            leaves, td = jax.tree.flatten(c)
+            for i, lv in enumerate(leaves):
+                if jnp.issubdtype(lv.dtype, jnp.floating):
+                    leaves[i] = lv + jnp.asarray(1e-38 * l, lv.dtype)
+                    break
+            return jax.tree.unflatten(td, leaves), l
 
         def run(v0):
             _, ls = jax.lax.scan(step, v0, None, length=ITERS)

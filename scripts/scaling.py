@@ -22,7 +22,26 @@ density concentrated in the lower image rows, like ground-vs-sky):
   * interleaved rows (round-robin): load spread evenly.
 
 Run with --platform tpu to time the real per-shard programs (Pallas blend)
-on the TPU chip.  Writes SCALING.json and prints a table.
+on the TPU chip.  Writes SCALING.json (CPU) / SCALING_TPU.json (TPU) and
+prints a table.
+
+EFFICIENCY DEFINITION (round 4): efficiency = sum_i t_i / (N * (max_i t_i
++ comm)) — <= 1.0 BY CONSTRUCTION.  The numerator is the total device
+work of the N-shard decomposition itself, so the metric measures load
+balance plus communication overhead, and cannot report the >1.0
+superlinear artifacts the old T1-based ratio produced (a single-shard
+baseline is inflated by O(n log n) sort splitting and cache effects the
+N-shard runs don't share; VERDICT r3).  ``vs_single_chip`` keeps the old
+T1 ratio as an informational field.
+
+TRAIN-STEP COMM MODEL: inference is collective-free (the image stays
+row-sharded), but a replicated-scene training step all-reduces the full
+gradient pytree.  Each run reports the modeled ring all-reduce time of
+those bytes over ICI (2(N-1)/N * bytes / bw) and, for a (hosts, chips)
+mesh, over a DCN host link — the two comm terms the round-3 SCALING.json
+left out.  BASELINE's north star has this psum overlapped with the
+backward sweep (see PERF.md "grad-overlap" section), so the modeled time
+is an upper bound on the exposed cost.
 """
 
 import argparse
@@ -39,6 +58,10 @@ import numpy as np
 # conservative single-link figure and REPORT it — compute is measured,
 # only the collective is modeled because one chip is available)
 ICI_GBPS = 45.0
+# modeled DCN bandwidth per host for the (hosts, chips) mesh's gradient
+# all-reduce hop (conservative single-NIC figure; the host axis of
+# parallel/mesh.py rides DCN, not ICI)
+DCN_GBPS = 12.5
 
 
 def main():
@@ -213,7 +236,8 @@ def main():
             t_max, t_mean = max(t_shards), sum(t_shards) / len(t_shards)
             if n_dev == 1:
                 t1 = t_max
-            eff = t1 / (n_dev * t_max)
+            # <= 1 by construction: work of THIS decomposition / N*max
+            eff = sum(t_shards) / (n_dev * t_max)
             key = "interleaved" if interleaved else "contiguous"
             tiles_s = cfg.num_tiles / t_max
             results["runs"].append({
@@ -223,10 +247,12 @@ def main():
                 "balance": round(t_mean / t_max, 3),
                 "projected_tiles_per_s": round(tiles_s, 1),
                 "efficiency": round(eff, 3),
+                "vs_single_chip": round(t1 / (n_dev * t_max), 3),
             })
             print(
                 f"n_dev={n_dev} {key:12s} max {t_max*1e3:8.2f} ms  "
-                f"balance {t_mean/t_max:.3f}  eff={eff:.3f}",
+                f"balance {t_mean/t_max:.3f}  eff={eff:.3f}  "
+                f"vs1={t1 / (n_dev * t_max):.3f}",
                 flush=True,
             )
 
@@ -235,7 +261,7 @@ def main():
         t_shards, comm_s, mbytes = exchange_run(n_dev, interleaved)
         t_max = max(t_shards)
         t_tot = t_max + comm_s
-        eff = t1 / (n_dev * t_tot)
+        eff = sum(t_shards) / (n_dev * t_tot)  # <= 1 by construction
         kind = "interleaved" if interleaved else "contiguous"
         results["runs"].append({
             "n_dev": n_dev, "assignment": f"exchange-{kind}",
@@ -247,6 +273,7 @@ def main():
             "balance": round(sum(t_shards) / len(t_shards) / t_max, 3),
             "projected_tiles_per_s": round(cfg.num_tiles / t_tot, 1),
             "efficiency": round(eff, 3),
+            "vs_single_chip": round(t1 / (n_dev * t_tot), 3),
         })
         print(
             f"n_dev={n_dev} exchange     max {t_max*1e3:8.2f} ms "
@@ -254,12 +281,39 @@ def main():
             flush=True,
         )
 
-    out_path = os.path.join(
-        os.path.dirname(__file__), "..", "SCALING.json"
+    # ---- train-step gradient all-reduce comm model (replicated scene):
+    # ring all-reduce moves 2(N-1)/N * grad_bytes per chip; the (hosts,
+    # chips) mesh's host axis pays the same formula over DCN.  These are
+    # the comm terms the inference tiles/s metric has no place for; the
+    # training step overlaps the psum with the backward sweep (PERF.md),
+    # so exposed cost <= modeled.
+    grad_bytes = sum(
+        np.asarray(l).nbytes for l in jax.tree.leaves(scene_d)
+        if np.issubdtype(np.asarray(l).dtype, np.floating)
     )
+    results["train_comm_model"] = {
+        "grad_bytes": int(grad_bytes),
+        "ring_allreduce_ms_ici": {
+            str(nd): round(
+                2 * (nd - 1) / nd * grad_bytes / (ICI_GBPS * 1e9) * 1e3, 2
+            )
+            for nd in (2, 4, 8)
+        },
+        "ring_allreduce_ms_dcn_2hosts": round(
+            2 * (2 - 1) / 2 * grad_bytes / (DCN_GBPS * 1e9) * 1e3, 2
+        ),
+        "dcn_gbps_assumed": DCN_GBPS,
+        "note": (
+            "upper bounds on EXPOSED time; XLA overlaps the grads psum "
+            "with the backward sweep (PERF.md grad-overlap section)"
+        ),
+    }
+
+    name = "SCALING_TPU.json" if on_tpu else "SCALING.json"
+    out_path = os.path.join(os.path.dirname(__file__), "..", name)
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    print("wrote SCALING.json")
+    print(f"wrote {name}")
 
 
 if __name__ == "__main__":

@@ -6,7 +6,11 @@ gradient field.  This is the Mosaic-lowering smoke test the CPU suite
 cannot provide (CPU runs the kernels in interpret mode) plus the
 gradient-parity artifact for BASELINE's "pixel-grad allclose" bar.
 
---ci: assert thresholds and write PARITY_TPU.json for the round record.
+--ci: assert thresholds and write PARITY_TPU.json for the round record
+      (bench.py runs this automatically each round).
+--bench-scale: ALSO run a 500k-splat 1920x1080 case so the train-variant
+      Pallas path (checkpointed back-to-front backward) is hardware-
+      verified at the shapes the bench measures, not just at toy scale.
 
 Thresholds and what limits them (see PERF.md / PARITY.md):
   * forward max|diff| < 5e-4 — the scan log/exp round-trip (~3e-6
@@ -34,13 +38,13 @@ import os
 import numpy as np
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--ci", action="store_true",
-                    help="assert thresholds; write PARITY_TPU.json")
-    ap.add_argument("--n-splats", type=int, default=5_000)
-    args = ap.parse_args()
+FWD_TOL = 5e-4
+REL_MAX_TOL = 2e-3
+REL_P99_TOL = 5e-4
 
+
+def run_case(n_splats, width, height, mean_scale, extent, sh_degree,
+             eye_z, seed):
     import jax
     import jax.numpy as jnp
 
@@ -50,18 +54,19 @@ def main():
     from gaussiansplattingviewer_tpu.utils import transforms as tf
     from gaussiansplattingviewer_tpu.utils.camera import Camera
 
-    cfg = RenderConfig(width=256, height=192, grad_fold_bf16=False)
+    cfg = RenderConfig(width=width, height=height, grad_fold_bf16=False)
     scene = random_scene(
-        args.n_splats, sh_degree=1, seed=1, extent=2.0, mean_scale=0.04
+        n_splats, sh_degree=sh_degree, seed=seed, extent=extent,
+        mean_scale=mean_scale,
     )
     cam = Camera(h=cfg.height, w=cfg.width)
     cam.fovy = 1.0
     view = np.asarray(
-        tf.look_at(np.array([0, 0, 6.0]), np.zeros(3), [0, -1, 0]),
+        tf.look_at(np.array([0, 0, eye_z]), np.zeros(3), [0, -1, 0]),
         np.float32,
     )
     proj = np.asarray(cam.get_project_matrix(), np.float32)
-    cam_pos = np.array([0, 0, 6.0], np.float32)
+    cam_pos = np.array([0, 0, eye_z], np.float32)
 
     def loss_fn(s, backend):
         img = render(s, view, proj, cam_pos, cfg, backend=backend)
@@ -83,12 +88,13 @@ def main():
     fwd_max = float(np.abs(img_tpu - img_tile).max())
     result = {
         "backend": jax.default_backend(),
-        "config": {"n_splats": args.n_splats, "width": cfg.width,
+        "config": {"n_splats": n_splats, "width": cfg.width,
                    "height": cfg.height, "grad_fold_bf16": False},
         "fwd_max_abs_diff": fwd_max,
         "fields": {},
     }
-    print(f"fwd pallas vs tile max|diff|: {fwd_max:.3e}")
+    print(f"[n={n_splats} {width}x{height}] "
+          f"fwd pallas vs tile max|diff|: {fwd_max:.3e}")
     for name in ("xyz", "scale", "rot", "opacity", "sh"):
         a, b = getattr(g_tpu, name), getattr(g_tile, name)
         denom = float(np.abs(b).max()) + 1e-12
@@ -103,12 +109,40 @@ def main():
             f"grad {name:8s}: rel_max={rel_max:.3e}  rel_p99={rel_p99:.3e}"
             f"  |tile|max={denom:.3e}"
         )
+    ok = fwd_max < FWD_TOL
+    for f in result["fields"].values():
+        ok &= f["rel_max"] < REL_MAX_TOL and f["rel_p99"] < REL_P99_TOL
+    result["pass"] = bool(ok)
+    return result
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ci", action="store_true",
+                    help="assert thresholds; write PARITY_TPU.json")
+    ap.add_argument("--n-splats", type=int, default=5_000)
+    ap.add_argument("--bench-scale", action="store_true",
+                    help="also verify a 500k-splat 1080p case (the "
+                    "train-variant kernel path at bench shapes)")
+    args = ap.parse_args()
+
+    import jax
+
+    result = run_case(
+        args.n_splats, 256, 192, mean_scale=0.04, extent=2.0,
+        sh_degree=1, eye_z=6.0, seed=1,
+    )
+    ok = result["pass"]
+    if args.bench_scale:
+        bs = run_case(
+            500_000, 1920, 1080, mean_scale=0.015, extent=4.0,
+            sh_degree=3, eye_z=9.0, seed=0,
+        )
+        result["bench_scale"] = bs
+        ok = ok and bs["pass"]
 
     if args.ci:
         assert jax.default_backend() == "tpu", "run --ci on the TPU"
-        ok = fwd_max < 5e-4
-        for name, f in result["fields"].items():
-            ok &= f["rel_max"] < 2e-3 and f["rel_p99"] < 5e-4
         result["pass"] = bool(ok)
         out = os.path.join(
             os.path.dirname(__file__), "..", "PARITY_TPU.json"

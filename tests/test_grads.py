@@ -176,7 +176,13 @@ def test_default_cfg_grads_close_to_f32_fold():
     g16 = jax.grad(_loss_fn(view, proj, cam_pos, cfg, "tile", weights))(scene)
     cfg32 = cfg.with_(grad_fold_bf16=False)
     g32 = jax.grad(_loss_fn(view, proj, cam_pos, cfg32, "tile", weights))(scene)
+    # measured envelopes on this scene (round 4): xyz 0.18%, rot 0.66%,
+    # scale 1.03%, opacity 0.15%, sh 0.29% of per-field max-abs; bounds are
+    # ~2x the measurement.  The default is additionally gated end-to-end
+    # by tests/test_train_quality.py (self-distill A/B, <0.1 dB PSNR).
+    budget = {"xyz": 0.005, "rot": 0.015, "scale": 0.025,
+              "opacity": 0.005, "sh": 0.008}
     for f in FIELDS:
         a, b = np.asarray(getattr(g32, f)), np.asarray(getattr(g16, f))
         scale = np.abs(a).max() + 1e-6
-        np.testing.assert_allclose(b, a, atol=0.05 * scale, err_msg=f)
+        np.testing.assert_allclose(b, a, atol=budget[f] * scale, err_msg=f)
