@@ -78,6 +78,9 @@ SEGMENT_ALIGN = 128
 # prefix matmuls cost O(S^2) per chunk) — but streaming 2 scan blocks per
 # loop iteration halves the fixed per-iteration cost (DMA issue/wait,
 # while_loop condition, bookkeeping) at unchanged MXU work.
+# KERNEL_CHUNK 512 was measured NET SLOWER in r4 (178.5 vs 167.2
+# ms/frame): the coarser early-stop granularity and window overhang cost
+# more than the halved per-iteration overhead saves.  256 is the optimum.
 KERNEL_CHUNK = 256
 SCAN_BLOCK = 128
 TABLE_PAD = 2 * KERNEL_CHUNK
@@ -716,10 +719,18 @@ def bin_splats(
     # binning LEVELS, not ids.  The flat slot index payload is the sort
     # KEY of the backward's sort-carry gradient fold (dead weight in
     # inference graphs, where the custom_vjp primal ignores it).
+    # is_stable=False is SAFE here: the composite (fused key, splat id) is
+    # unique for live entries (a splat duplicates a given tile at most
+    # once, and its depth quantum is fixed), so stability cannot change
+    # the order of anything the render reads.  Dead entries (sentinel
+    # keys) of one splat DO tie, but they sort past every tile range and
+    # their relative order only permutes zero-gradient fold rows; ``perm``
+    # stays a valid permutation either way.  A stable sort costs an extra
+    # hidden iota operand in XLA's lowering.
     key_sorted, rows_sorted, perm = jax.lax.sort(
         (keys, slot_row, jnp.arange(cap, dtype=jnp.int32)),
         num_keys=2,
-        is_stable=True,
+        is_stable=False,
     )
 
     starts = jnp.searchsorted(

@@ -76,7 +76,7 @@ def _suffix_sum_strict(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
 
 def _block_grads(
     rows, live, gscratch, slot, bs, be, t_block, suffix,
-    px, py, ox, oy, basis, g_rgb, g_rgb_t, gto,
+    px, py, ox, oy, basis, g_rgb, gto,
     cfg: RenderConfig, exact_scan: bool,
 ):
     """Gradient math for one (16, SCAN_BLOCK) block: recompute the forward
@@ -158,15 +158,15 @@ def _block_grads(
 
     zeros_blk = jnp.zeros((TABLE_WIDTH, SCAN_BLOCK), jnp.float32)
     def color_grad(weights):
-        # g_col[c, s] = sum_p g_rgb[p, c] * weights[p, s]: ONE standard-form
-        # (3, P) @ (P, S) MXU matmul at HIGHEST (f32-exact, tiny at m=3)
-        # replaces 3 per-block sublane reductions (~32 register-row adds
-        # each); g_rgb_t is tile-constant
-        return jax.lax.dot_general(
-            g_rgb_t, weights,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+        # per-channel sublane reductions (exact f32; measured r4: the
+        # (3,P)@(P,S) HIGHEST matmul variant was a net loss)
+        return jnp.concatenate(
+            [
+                jnp.sum(weights * g_rgb[:, c : c + 1], axis=0,
+                        keepdims=True)
+                for c in range(3)
+            ],
+            axis=0,
         )  # (3, S)
 
     if mode in (
@@ -290,11 +290,6 @@ def _bwd_kernel(
     g_trans = g_ref[0, :, 3:4]  # (P, 1)
     out_trans = out_res_ref[0, :, 0:1]  # (P, 1)
     gto = g_trans * out_trans  # tile-constant, see _block_grads
-    # (3, P) transposed pixel cotangent for the color-grad matmuls (three
-    # (P,1)->(1,P) column transposes once per tile; Mosaic lowers these)
-    g_rgb_t = jnp.concatenate(
-        [g_rgb[:, c : c + 1].T for c in range(3)], axis=0
-    )
 
     # reverse iteration: step k processes chunk ci = nproc - 1 - k;
     # DMA slots are indexed by k so consecutive steps alternate buffers
@@ -421,8 +416,7 @@ def _bwd_kernel(
                 t_block = jnp.where(ci == 0, 1.0, t_block)
             suffix = _block_grads(
                 rows, live, gscratch, slot, bs, be, t_block, suffix,
-                px, py, ox, oy, basis, g_rgb, g_rgb_t, gto, cfg,
-                exact_scan,
+                px, py, ox, oy, basis, g_rgb, gto, cfg, exact_scan,
             )
         @pl.when(boundary)
         def _():

@@ -178,18 +178,16 @@ def _chunk_blend(rows, px, py, rgb, trans, live, cfg: RenderConfig,
     # per-fragment darkening of GAUSSIAN_BALL (gau_frag.glsl:37) folds into
     # the weights; color itself is per-splat
     w_c = w * gauss if mode == RenderMode.GAUSSIAN_BALL else w
-    # color accumulation as ONE tiny (P, S) @ (S, 3) MXU matmul at HIGHEST
-    # (f32-exact via 6 internal bf16 passes — at k=128, n=3 that is
-    # negligible MXU work) instead of 3 cross-lane VPU reductions per
-    # block, which cost ~7 lane-shuffle rounds each
-    col_t = jnp.concatenate(
-        [colors[c : c + 1, :].T for c in range(3)], axis=1
-    )  # (S, 3)
-    rgb = rgb + jax.lax.dot_general(
-        w_c, col_t,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+    # per-channel lane reductions on the VPU: exact f32 (a DEFAULT-precision
+    # dot_general is one bf16 MXU pass — a 0.4% color error — and HIGHEST
+    # costs 6 passes; measured r4: the (P,S)@(S,3) HIGHEST matmul + block
+    # transposes were a NET LOSS, +6 ms/frame vs these reductions)
+    rgb = rgb + jnp.concatenate(
+        [
+            jnp.sum(w_c * colors[c : c + 1, :], axis=1, keepdims=True)
+            for c in range(3)
+        ],
+        axis=1,
     )
     trans = trans * prefix[:, -1:] * one_m[:, -1:]
     return rgb, trans

@@ -17,12 +17,19 @@ attribute cost WITHIN the single-program setting the bench measures:
   proj fwd   = full_fwd - splat_fwd  proj bwd  = (full-full_fwd) - (splat-splat_fwd)
 """
 
+import argparse
 import time
 
 import numpy as np
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--garden", action="store_true",
+                    help="garden-scale scene (5.8M anisotropic splats)")
+    ap.add_argument("--iters", type=int, default=8)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
 
@@ -36,14 +43,21 @@ def main():
     from gaussiansplattingviewer_tpu.utils import transforms as tf
     from gaussiansplattingviewer_tpu.utils.camera import Camera
 
-    ITERS = 8
+    ITERS = args.iters
     cfg = RenderConfig(width=1920, height=1080)
-    scene = random_scene(
-        1_000_000, sh_degree=3, seed=0, extent=4.0, mean_scale=0.015
-    ).pad_to_multiple(1024).to_device()
+    if args.garden:
+        scene = random_scene(
+            5_800_000, sh_degree=3, seed=0, extent=6.0, mean_scale=0.012,
+            anisotropy=1.0, opacity_mix=True,
+        ).pad_to_multiple(1024).to_device()
+        eye = np.array([0, 0, 11.0])
+    else:
+        scene = random_scene(
+            1_000_000, sh_degree=3, seed=0, extent=4.0, mean_scale=0.015
+        ).pad_to_multiple(1024).to_device()
+        eye = np.array([0, 0, 9.0])
     cam = Camera(h=cfg.height, w=cfg.width)
     cam.fovy = 1.0
-    eye = np.array([0, 0, 9.0])
     view = jnp.asarray(tf.look_at(eye, np.zeros(3), [0, -1, 0]))
     proj = jnp.asarray(cam.get_project_matrix())
     cam_pos = jnp.asarray(eye.astype(np.float32))
