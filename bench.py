@@ -204,6 +204,18 @@ def main():
         "vs_baseline": round(mpix_s / ref_forward_only_mpix_s, 3),
     }
 
+    if not args.forward_only and not args.no_fuse:
+        # apples-to-apples context: the 36.6 Mpix/s denominator is the
+        # reference's FORWARD-ONLY display loop, while the headline above
+        # includes backward+update; record our forward-only rate too
+        args.forward_only = True
+        f_mpix_s, f_ms, _ = measure(scene, eye, look, max(args.iters, 4))
+        args.forward_only = False
+        result["fwd_mpix_s"] = round(f_mpix_s, 3)
+        result["fwd_vs_baseline"] = round(
+            f_mpix_s / ref_forward_only_mpix_s, 3
+        )
+
     # the garden-scale second measurement (BASELINE.json metric 1 names the
     # garden PLY): recorded as extra keys of the SAME JSON line so the
     # driver's one-line artifact carries the workload the metric names.

@@ -72,15 +72,21 @@ def _round_up(x: int, q: int) -> int:
     return -(-int(x) // q) * q
 
 
-def _ladder_capacity(counts_live, n, k1, span_cap, safety, round_to):
+def _ladder_capacity(counts_live, n, k1, span_cap, safety, round_to,
+                     ratio: float = 2.0, max_tiers: int = 20):
     """Build the geometric ladder for a given k1; return (capacity, cfg
-    fields).  Tiers double coverage: 2*k1, 4*k1, ... then the whole-grid
-    huge tier."""
+    fields).  Tier coverages grow by ``ratio`` (2.0 = doubling): finer
+    ratios cut per-splat slot rounding waste (a splat in a tier of span
+    ``cov`` wastes up to (1 - 1/ratio) * cov slots) at the price of more
+    tiers, each of which costs a fixed keygen overhead — tuned_config
+    scores the trade."""
     covs = []
-    c = 2 * k1
-    while c < span_cap:
+    c = k1
+    while True:
+        c = max(int(np.ceil(c * ratio)), c + 1)
+        if c >= span_cap or len(covs) >= max_tiers:
+            break
         covs.append(c)
-        c *= 2
     ladder = []
     lo = k1
     for cov in covs:
@@ -126,16 +132,20 @@ def tuned_config(
 
     best = None
     for k1c in [k1] if k1 else [1, 2, 4]:
-        cap, ladder, huge = _ladder_capacity(
-            counts_live, n, k1c, span_cap, safety, round_to
-        )
-        # cost model: every SLOT pays keygen + sort + gradient-fold
-        # (~17ns measured); every pool ENTRY additionally pays one packed
-        # row gather + derived-field recompute (~8ns) — about half a slot
-        entries = sum(c for _, c in ladder) + huge
-        score = cap + 0.5 * entries
-        if best is None or score < best[0]:
-            best = (score, cap, k1c, ladder, huge)
+        for ratio in (2.0, 1.5, 1.3):
+            cap, ladder, huge = _ladder_capacity(
+                counts_live, n, k1c, span_cap, safety, round_to,
+                ratio=ratio,
+            )
+            # cost model: every SLOT pays keygen + sort + gradient-fold
+            # (~17ns measured); every pool ENTRY additionally pays one
+            # packed row gather + derived-field recompute (~8ns) — about
+            # half a slot; every TIER pays a fixed keygen/mask/concat
+            # overhead (~16k slot-equivalents, ~0.3 ms)
+            entries = sum(c for _, c in ladder) + huge
+            score = cap + 0.5 * entries + 16384 * (len(ladder) + 1)
+            if best is None or score < best[0]:
+                best = (score, cap, k1c, ladder, huge)
     _, cap, k1c, ladder, huge = best
 
     # table rows the sort can produce = total live duplicates; bbox counts
@@ -246,8 +256,12 @@ def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
             )
             b = binning.bin_splats(splats, tuned)
             live = max(live, int(b.num_duplicates))
-        safety = kw.get("safety", 1.2)
-        rows = max(_round_up(live * safety, 4096), 4096)
+        # the probe measured the ACTUAL live duplicates (post tight
+        # culling) on every probe pose, so a slimmer margin suffices here
+        # than on the histogram bound; truncation is caught by the
+        # `truncated` diagnostic and the overflow-retune loops
+        # (apps/train.py) if a later pose exceeds it
+        rows = max(_round_up(int(live * 1.1), 4096), 4096)
         tuned = tuned.with_(
             table_budget_rows=min(rows, tuned.table_budget_rows)
         )

@@ -64,14 +64,17 @@ BLOCKS = CHUNK // SCAN_BLOCK
 
 def _suffix_sum_strict(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
     """Strict suffix sum along axis 1 as ONE triangular matmul on the MXU:
-    out[:, i] = sum_{j > i} x[:, j].  3-pass f32 split (terms cancel, so
-    unlike the same-sign log scan this keeps full precision); exact=True
-    (interpret/CPU) uses one plain f32 pass."""
+    out[:, i] = sum_{j > i} x[:, j].  2-pass f32 split: per-term error
+    <= 2^-18 |x_j|, so the suffix error is <= 2^-18 * sum_j |u_j| — an
+    order below the front-to-back cancellation noise the r3 back-to-front
+    rework eliminated (~1e-5 |gdot|), and hardware-verified within the
+    PARITY_TPU budgets (r4: xyz rel_p99 unchanged at ~1.3e-4 vs the
+    3-pass split).  exact=True (interpret/CPU) uses one plain f32 pass."""
     s = x.shape[1]
     ri = jax.lax.broadcasted_iota(jnp.int32, (s, s), 0)
     ci = jax.lax.broadcasted_iota(jnp.int32, (s, s), 1)
     tri_suf = (ri > ci).astype(jnp.float32)  # [j, i] = 1 iff j > i
-    return _tri_matmul_f32(x, tri_suf, passes=1 if exact else 3)
+    return _tri_matmul_f32(x, tri_suf, passes=1 if exact else 2)
 
 
 def _block_grads(
