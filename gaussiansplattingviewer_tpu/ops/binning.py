@@ -359,27 +359,25 @@ def _gather_table_rows_bwd(levels, res, g):
                 c[off : off + kx * clen].reshape(kx, clen).sum(axis=0)
             )
             off += kx * clen
+    if total_pool > 0:
+        # pool entries are ranks in ONE cat-major order (tiers
+        # concatenated) — one concatenated gradient table, one routing
+        # row gather via big_pos (sentinel total_pool -> zero row).
+        # The table is GRAD_WIDTH (9) columns, not 16: row-gather cost
+        # grows with SOURCE bytes, and columns 9-15 are always zero.
+        parts = [
+            jnp.stack(tier, axis=1) for tier in gp_tiers if tier
+        ]
+        parts.append(jnp.zeros((1, width), jnp.float32))
+        gp = jnp.concatenate(parts, axis=0)  # (total_pool + 1, 9)
+        routed = gp[jnp.minimum(big_pos, total_pool)]  # (n, 9)
+        g1_cols = [c + routed[:, j] for j, c in enumerate(g1_cols)]
     # (n, 16) cotangent for ``pack``: N-scale stack (cheap — the
     # pathological relayouts are at cap scale, not N scale)
     zero_n = jnp.zeros((n,), jnp.float32)
     g1 = jnp.stack(
         g1_cols + [zero_n] * (TABLE_WIDTH - width), axis=1
     )
-    if total_pool > 0:
-        # pool entries are ranks in ONE cat-major order (tiers
-        # concatenated) — one concatenated gradient table, one routing
-        # row gather via big_pos (sentinel total_pool -> zero row)
-        parts = [
-            jnp.stack(
-                tier + [jnp.zeros_like(tier[0])] * (TABLE_WIDTH - width),
-                axis=1,
-            )
-            for tier in gp_tiers
-            if tier
-        ]
-        parts.append(jnp.zeros((1, TABLE_WIDTH), jnp.float32))
-        gp = jnp.concatenate(parts, axis=0)  # (total_pool + 1, 16)
-        g1 = g1 + gp[jnp.minimum(big_pos, total_pool)]
     return g1, None, None, None
 
 
