@@ -236,15 +236,19 @@ def main():
     if not args.no_parity and jax.default_backend() == "tpu":
         import subprocess
 
-        proc = subprocess.run(
-            [sys.executable,
-             os.path.join(os.path.dirname(__file__) or ".", "scripts",
-                          "tpu_gradcheck.py"),
-             "--ci", "--bench-scale"],
-            capture_output=True, text=True, timeout=3600,
-        )
-        sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
-        result["parity_pass"] = proc.returncode == 0
+        try:
+            proc = subprocess.run(
+                [sys.executable,
+                 os.path.join(os.path.dirname(__file__) or ".", "scripts",
+                              "tpu_gradcheck.py"),
+                 "--ci", "--bench-scale"],
+                capture_output=True, text=True, timeout=2400,
+            )
+            sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
+            result["parity_pass"] = proc.returncode == 0
+        except Exception as e:  # never lose the metric line to the check
+            sys.stderr.write(f"# parity check failed to run: {e}\n")
+            result["parity_pass"] = None
 
     print(json.dumps(result))
 
