@@ -236,13 +236,21 @@ def main():
     if not args.no_parity and jax.default_backend() == "tpu":
         import subprocess
 
+        repo_root = os.path.dirname(os.path.abspath(__file__))
+        # APPEND to PYTHONPATH — the TPU (axon) backend registers via
+        # PYTHONPATH=/root/.axon_site; replacing it kills the backend
+        # (CLAUDE.md).  The parent's cwd lands on sys.path; the child's
+        # does not, which is exactly the r4 ModuleNotFoundError.
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + (
+            os.pathsep + env["PYTHONPATH"] if env.get("PYTHONPATH") else ""
+        )
         try:
             proc = subprocess.run(
                 [sys.executable,
-                 os.path.join(os.path.dirname(__file__) or ".", "scripts",
-                              "tpu_gradcheck.py"),
+                 os.path.join(repo_root, "scripts", "tpu_gradcheck.py"),
                  "--ci", "--bench-scale"],
-                capture_output=True, text=True, timeout=2400,
+                capture_output=True, text=True, timeout=2400, env=env,
             )
             sys.stderr.write(proc.stdout[-2000:] + proc.stderr[-2000:])
             result["parity_pass"] = proc.returncode == 0
@@ -251,6 +259,11 @@ def main():
             result["parity_pass"] = None
 
     print(json.dumps(result))
+    # a failed (or crashed) parity check must fail the bench loudly, not
+    # just annotate the JSON line — r4 shipped parity_pass=false silently
+    if result.get("parity_pass") is False or result.get("parity_pass") is None:
+        if "parity_pass" in result:
+            sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -233,7 +233,8 @@ def autotune_orbit(scene, cfg: RenderConfig, center=None, radius=None,
 
 
 def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
-             probe: bool = False, **kw) -> RenderConfig:
+             probe: bool = False, probe_margin: float = 1.1,
+             **kw) -> RenderConfig:
     """measure_counts + tuned_config in one call.
 
     probe=True additionally runs the binning once per pose under the
@@ -241,6 +242,16 @@ def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
     duplicate count (with tight_culling the live count is well below the
     bbox upper bound — on anisotropic scenes the table gather shrinks
     20-40% more).  Costs one extra trace/compile of bin_splats per scene.
+
+    Margin policy: ``safety`` (tuned_config kwarg) inflates the HISTOGRAM
+    envelope (pool sizes + the no-probe table budget); ``probe_margin``
+    inflates the probe-MEASURED live duplicate count.  The probe measures
+    actual liveness on every probe pose, so its default margin is tighter
+    (1.1); callers without an overflow-retune loop (e.g. a free-flying
+    viewer) that need headroom beyond the probed envelope should raise
+    ``probe_margin``, not just ``safety`` — truncation past the budget
+    drops splat rows silently unless the ``truncated`` diagnostic is
+    monitored.
     """
     counts = measure_counts(scene, views, projs, cam_positions, cfg)
     tuned = tuned_config(cfg, counts, **kw)
@@ -260,8 +271,9 @@ def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
         # culling) on every probe pose, so a slimmer margin suffices here
         # than on the histogram bound; truncation is caught by the
         # `truncated` diagnostic and the overflow-retune loops
-        # (apps/train.py) if a later pose exceeds it
-        rows = max(_round_up(int(live * 1.1), 4096), 4096)
+        # (apps/train.py) if a later pose exceeds it.  probe_margin is the
+        # caller's knob (see docstring) — safety does NOT apply here.
+        rows = max(_round_up(int(live * probe_margin), 4096), 4096)
         tuned = tuned.with_(
             table_budget_rows=min(rows, tuned.table_budget_rows)
         )

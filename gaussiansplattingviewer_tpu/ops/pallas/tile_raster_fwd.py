@@ -76,8 +76,14 @@ def _tri_matmul_f32(
 
     passes=2 drops the ``lo`` term: per-element error <= 2^-18 |x_i|.  For
     SAME-SIGN rows (the log-domain transmittance scan: all logs <= 0) the
-    row-sum error is therefore <= 2^-18 |row sum| — use 2 passes there and
-    3 wherever terms can cancel (gradient suffix sums).
+    row-sum error is therefore <= 2^-18 |row sum| (relative).  The
+    gradient suffix sums (tile_raster_bwd._suffix_sum_strict) ALSO use 2
+    passes: there terms can cancel, so the bound is only ABSOLUTE
+    (2^-18 * sum_j |u_j|), but that is still an order below the
+    front-to-back cancellation noise the back-to-front rework removed and
+    was hardware-verified inside the PARITY_TPU budgets (r4: xyz rel_p99
+    unchanged vs the 3-pass split).  Use 3 passes only where a tighter
+    absolute bound is ever needed.
 
     passes=1 is plain bf16 — only for interpret/CPU where DEFAULT dot is
     exact f32."""

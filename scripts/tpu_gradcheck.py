@@ -34,8 +34,15 @@ measure the fold, not the kernels.
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
+
+# self-contained when spawned as a subprocess (bench.py) whose cwd/sys.path
+# does not include the repo root
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 
 FWD_TOL = 5e-4

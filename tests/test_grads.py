@@ -178,8 +178,14 @@ def test_default_cfg_grads_close_to_f32_fold():
     g32 = jax.grad(_loss_fn(view, proj, cam_pos, cfg32, "tile", weights))(scene)
     # measured envelopes on this scene (round 4): xyz 0.18%, rot 0.66%,
     # scale 1.03%, opacity 0.15%, sh 0.29% of per-field max-abs; bounds are
-    # ~2x the measurement.  The default is additionally gated end-to-end
-    # by tests/test_train_quality.py (self-distill A/B, <0.1 dB PSNR).
+    # ~2x the measurement.  NOTE these budgets are SCENE/SEED-SPECIFIC
+    # (this scene, seed 7, this sort tie order): a benign numeric change
+    # (different tie order, compiler update, another platform) may exceed
+    # the 2x headroom on one field — if that happens, re-measure the f32
+    # vs bf16 delta here and reset the budgets to ~2x the fresh
+    # measurement rather than loosening them blindly.  The default is
+    # additionally gated end-to-end by tests/test_train_quality.py
+    # (self-distill A/B, <0.1 dB PSNR).
     budget = {"xyz": 0.005, "rot": 0.015, "scale": 0.025,
               "opacity": 0.005, "sh": 0.008}
     for f in FIELDS:
