@@ -131,11 +131,17 @@ def main():
             # per-scene setup cost any scene-static renderer pays once.
             from gaussiansplattingviewer_tpu.ops.autotune import autotune
 
-            cfg = autotune(scene, [view], [proj], [cam_pos], cfg, probe=True)
+            cfg = autotune(
+                scene, [view], [proj], [cam_pos], cfg, probe=True,
+                fused=None,
+            )
             print(
                 f"# autotuned: k1={cfg.dense_small_slots} "
                 f"ladder={cfg.pool_ladder} huge={cfg.pool_huge_entries} "
-                f"table_rows={cfg.table_budget_rows}",
+                f"table_rows={cfg.table_budget_rows} "
+                f"fused={cfg.fused_grad} K={cfg.prefix_rows} "
+                f"kb={cfg.prefix_budget_rows} rb={cfg.residual_budget_rows} "
+                f"gb={cfg.grad_budget_rows}",
                 file=sys.stderr,
             )
 

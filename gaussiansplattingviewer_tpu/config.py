@@ -136,6 +136,31 @@ class RenderConfig:
         inside Adam/SGD noise, so it is ON by default; precision tests
         and finite-difference checks pin it off
         (tests/test_grads.py).
+      fused_grad: route rendering through the fused binning+blend
+        custom_vjp super-op (ops/fused.py): the splat table is gathered
+        INSIDE the op and the backward folds duplicate gradients by SPLAT
+        ID from a compact row-major gradient buffer sized ~processed rows
+        (grad_budget_rows) instead of the slot-dense fold sized ~capacity.
+        Requires the Pallas backend.  The win grows with the scene's
+        early-stop dead weight (rows sorted/gathered/folded that the blend
+        kernels never read): ~81% at garden scale, ~20% at the 1M bench
+        (PERF.md r4) — autotune enables it per scene.
+      prefix_rows: with fused_grad, per-tile PREFIX length K: only the
+        first min(count, K) depth-sorted rows per tile are gathered and
+        blended in pass 1; tiles that neither saturated (early-stop) nor
+        fit in K get a SECOND seeded blend pass over their remaining rows
+        (entering transmittance = pass-1 exit; exact by compositional
+        associativity out = out_K + T_K * blend(rest)).  0 = single-pass
+        fused (prefix disabled).
+      prefix_budget_rows: static capacity of the pass-1 prefix table
+        (~sum over tiles of min(count, K); autotuned).  Overflow drops
+        trailing tiles' rows (``truncated`` diagnostic).
+      residual_budget_rows: static capacity of the pass-2 residual table
+        (autotuned; only unfinished tiles contribute).
+      grad_budget_rows: static capacity of the compact backward gradient
+        buffer (~sum of processed chunk rows; autotuned).  Tiles past the
+        budget lose their table gradients for the step and are counted in
+        the ``grad_overflow`` diagnostic — retune when it fires.
       tight_culling: per-tile exact ellipse/rect alpha test during binning.
         A candidate tile is dropped when max over its pixel centers of
         min(alpha_clamp, opacity * exp(power)) < alpha_min — such tiles
@@ -181,6 +206,11 @@ class RenderConfig:
     alpha_min: float = 1.0 / 255.0
     ball_threshold: float = 0.22
     early_stop_transmittance: float = 1e-4
+    fused_grad: bool = False
+    prefix_rows: int = 0
+    prefix_budget_rows: int = 0
+    residual_budget_rows: int = 0
+    grad_budget_rows: int = 0
     tight_culling: bool = True
     grad_fold_bf16: bool = True
     debug: bool = False

@@ -232,8 +232,111 @@ def autotune_orbit(scene, cfg: RenderConfig, center=None, radius=None,
     return autotune(scene, views, projs, poss, cfg, safety=safety, **kw)
 
 
+def _capacity_of(cfg: RenderConfig, n: int) -> int:
+    """Total duplicate-slot capacity of a tuned config (the volume every
+    per-slot cost — keygen, sort, classic fold — scales with)."""
+    span_cap = cfg.num_tiles
+    if cfg.max_tiles_per_gaussian > 0:
+        span_cap = min(span_cap, cfg.max_tiles_per_gaussian)
+    cap = cfg.dense_small_slots * n
+    for kx, c in cfg.pool_ladder:
+        cap += int(kx) * int(c)
+    huge = cfg.pool_huge_entries or max(n // cfg.pool_huge_fraction, 32)
+    return cap + span_cap * huge
+
+
+_FUSED_K_GRID = (256, 512, 1024, 2048, 4096, 8192)
+
+
+def tune_fused(scene, views, projs, cam_positions, cfg: RenderConfig,
+               fused: bool | None = None, max_probe_poses: int = 4,
+               margin_prefix: float = 1.15, margin_residual: float = 1.5,
+               margin_grad: float = 1.3) -> RenderConfig:
+    """Decide and size the fused prefix/residual/compact-grad path
+    (ops/fused.py) from measured per-tile saturation.
+
+    Runs ONE full-table train forward per probe pose (fused.probe_forward)
+    to measure per-tile list lengths, actually-consumed rows (early-stop),
+    and saturation; then
+
+      * enables fused_grad iff the compact id fold beats the slot-dense
+        fold: (processed rows + N) < 0.6 * slot capacity (at the 1M bench
+        scene ~80% of rows are live-processed and the fused path is a
+        measured wash-to-loss; at garden scale 81% is dead weight and it
+        is the single biggest win — PERF.md r4);
+      * picks prefix_rows K from a grid minimizing
+        sum(min(count, K)) + 1.4 * residual_rows(K), falling back to
+        single-pass (K = 0) when no K beats 0.9x the full gather;
+      * sets the three static budgets with margins (prefix x1.15,
+        residual x1.5, grad x1.3) — the overflow diagnostics
+        (``truncated``, ``grad_rows_dropped``) report any later pose that
+        outgrows them, same retune contract as the pool ladder.
+
+    fused=True forces enablement, False skips entirely, None decides.
+    """
+    if fused is False:
+        return cfg
+    import jax.numpy as jnp
+
+    from gaussiansplattingviewer_tpu.ops import binning as binning_mod
+    from gaussiansplattingviewer_tpu.ops.fused import probe_forward
+
+    chunk = binning_mod.KERNEL_CHUNK
+    n = int(scene.xyz.shape[0])
+    poses = list(zip(views, projs, cam_positions))[:max_probe_poses]
+    counts_l, proc_l, sat_l = [], [], []
+    for v, p, c in poses:
+        splats = project(
+            scene, jnp.asarray(v, jnp.float32), jnp.asarray(p, jnp.float32),
+            jnp.asarray(c, jnp.float32), cfg,
+        )
+        counts, processed, sat, _ = probe_forward(splats, cfg)
+        counts_l.append(np.asarray(counts))
+        proc_l.append(np.asarray(processed))
+        sat_l.append(np.asarray(sat))
+
+    proc_tot = max(int(p.sum()) for p in proc_l)
+    if fused is None and proc_tot + n >= 0.6 * _capacity_of(cfg, n):
+        return cfg  # dead weight too small for the compact fold to win
+
+    live = max(int(c.sum()) for c in counts_l)
+    best = (0.9 * live, 0)  # single-pass fallback threshold
+    for k in _FUSED_K_GRID:
+        kb = rb = 0
+        for counts, processed, sat in zip(counts_l, proc_l, sat_l):
+            fin = (counts <= k) | (sat & (processed <= k))
+            kb = max(kb, int(np.minimum(counts, k).sum()))
+            rb = max(rb, int(np.where(fin, 0, counts - k).sum()))
+        score = kb + 1.4 * rb
+        if score < best[0]:
+            best = (score, k)
+    k = best[1]
+
+    kb_m = rb_m = g1_m = 0
+    for counts, processed, sat in zip(counts_l, proc_l, sat_l):
+        if k > 0:
+            fin = (counts <= k) | (sat & (processed <= k))
+            kb_m = max(kb_m, int(np.minimum(counts, k).sum()))
+            rb_m = max(rb_m, int(np.where(fin, 0, counts - k).sum()))
+            g1_m = max(g1_m, int(np.minimum(processed, k + chunk).sum()))
+        else:
+            kb_m = max(kb_m, int(counts.sum()))
+            g1_m = max(g1_m, int(processed.sum()))
+    out = cfg.with_(
+        fused_grad=True,
+        prefix_rows=k,
+        prefix_budget_rows=_round_up(kb_m * margin_prefix, 4096),
+        residual_budget_rows=(
+            _round_up(rb_m * margin_residual + 4096, 4096) if k else 0
+        ),
+        grad_budget_rows=_round_up(g1_m * margin_grad, chunk),
+    )
+    return out
+
+
 def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
              probe: bool = False, probe_margin: float = 1.1,
+             fused: bool | None = False,
              **kw) -> RenderConfig:
     """measure_counts + tuned_config in one call.
 
@@ -276,5 +379,11 @@ def autotune(scene, views, projs, cam_positions, cfg: RenderConfig,
         rows = max(_round_up(int(live * probe_margin), 4096), 4096)
         tuned = tuned.with_(
             table_budget_rows=min(rows, tuned.table_budget_rows)
+        )
+    if fused is not False:
+        # fused prefix/compact-grad path (needs the tuned table budget in
+        # place first — its probe runs a full-table train forward)
+        tuned = tune_fused(
+            scene, views, projs, cam_positions, tuned, fused=fused
         )
     return tuned

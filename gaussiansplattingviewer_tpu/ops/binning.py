@@ -412,29 +412,19 @@ def pack_table(splats: ProjectedSplats) -> jax.Array:
     return cols
 
 
-@functools.partial(
-    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
-)
-def bin_splats(
+def _prepare_binning(
     splats: ProjectedSplats,
     cfg: RenderConfig,
-    row_offset=0,
-    local_rows: int | None = None,
-    row_stride: int = 1,
-) -> BinnedSplats:
-    """Build depth-ordered per-tile lists (see module docstring).
-
-    row_offset / local_rows / row_stride select the arithmetic progression
-    of ``local_rows`` GLOBAL tile rows {row_offset + s * row_stride} — the
-    unit of multi-chip image sharding (parallel/): stride 1 is a
-    contiguous band, stride n_shards the interleaved assignment.  Defaults
-    cover the whole image.  ``local_rows``/``row_stride`` are static
-    (shapes depend on them); ``row_offset`` may be traced
-    (e.g. lax.axis_index inside shard_map).
-    """
+    row_offset,
+    local_rows: int,
+    row_stride: int,
+):
+    """Steps 1-2 of bin_splats (spans, tiered slot expansion, fused sort
+    keys) — shared by the classic path (bin_splats) and the fused
+    super-op's presort (bin_splats_presort).  Returns a dict with the
+    unsorted keys/slot_row, the augmented table source, the level layout
+    for the slot-space gradient fold, and the overflow diagnostic."""
     n = splats.depth.shape[0]
-    if local_rows is None:
-        local_rows = cfg.tiles_y
     num_tiles = local_rows * cfg.tiles_x
     sentinel = jnp.int32(num_tiles)
 
@@ -704,6 +694,51 @@ def bin_splats(
     slot_row = (
         jnp.concatenate(row_parts) if len(row_parts) > 1 else row_parts[0]
     )
+
+    overflow_total = jnp.sum(overflowed | spilled | demoted)
+    return dict(
+        keys=keys,
+        slot_row=slot_row,
+        table_src=table_src,
+        levels=(k1, tuple(zip(kxs, caps))),
+        big_pos=big_pos,
+        overflow=overflow_total.astype(jnp.int32),
+        num_tiles=num_tiles,
+        depth_bits=depth_bits,
+        n=n,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
+def bin_splats(
+    splats: ProjectedSplats,
+    cfg: RenderConfig,
+    row_offset=0,
+    local_rows: int | None = None,
+    row_stride: int = 1,
+) -> BinnedSplats:
+    """Build depth-ordered per-tile lists (see module docstring).
+
+    row_offset / local_rows / row_stride select the arithmetic progression
+    of ``local_rows`` GLOBAL tile rows {row_offset + s * row_stride} — the
+    unit of multi-chip image sharding (parallel/): stride 1 is a
+    contiguous band, stride n_shards the interleaved assignment.  Defaults
+    cover the whole image.  ``local_rows``/``row_stride`` are static
+    (shapes depend on them); ``row_offset`` may be traced
+    (e.g. lax.axis_index inside shard_map).
+    """
+    if local_rows is None:
+        local_rows = cfg.tiles_y
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    prep = _prepare_binning(splats, cfg, row_offset, local_rows, row_stride)
+    keys, slot_row = prep["keys"], prep["slot_row"]
+    table_src, big_pos = prep["table_src"], prep["big_pos"]
+    k1, pools = prep["levels"]
+    num_tiles, depth_bits, n = (
+        prep["num_tiles"], prep["depth_bits"], prep["n"]
+    )
     cap = keys.shape[0]
 
     # ---- 3. ONE stable sort over (fused key, splat id) replaces the
@@ -755,7 +790,7 @@ def bin_splats(
 
     rows_trunc = rows_sorted[:cap_mat]
     table = _gather_table_rows(
-        (k1, tuple(zip(kxs, caps)), bool(cfg.grad_fold_bf16)),
+        (k1, pools, bool(cfg.grad_fold_bf16)),
         table_src,
         rows_trunc,
         perm,
@@ -765,14 +800,77 @@ def bin_splats(
         [table, jnp.zeros((TABLE_WIDTH, TABLE_PAD), jnp.float32)], axis=1
     )
 
-    # one count per affected splat (a splat can both hit the static bbox
-    # clamp and miss a pool; counting it twice made the signal noisy)
-    overflow_total = jnp.sum(overflowed | spilled | demoted)
     return BinnedSplats(
         table=table,
         tile_starts=starts,
         tile_counts=counts,
         num_duplicates=jnp.minimum(total, cap_mat).astype(jnp.int32),
-        overflow=overflow_total.astype(jnp.int32),
+        # one count per affected splat (a splat can both hit the static
+        # bbox clamp and miss a pool; double-counting made it noisy)
+        overflow=prep["overflow"],
         truncated=truncated.astype(jnp.int32),
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PresortedBins:
+    """bin_splats minus the table gather — the fused super-op's input.
+
+    table_src: (N, TABLE_WIDTH) augmented splat table (pack_table + bbox
+      columns; COL_COUNT still holds the tile count — the super-op
+      replaces it with the splat id before gathering).
+    rows_sorted: (cap,) i32 splat id per sorted duplicate slot, in fused
+      (tile | depth) key order; dead slots sort past every tile range.
+    starts_full: (num_tiles + 1,) i32 UNCLIPPED segment boundaries into
+      the sorted order (budget clipping happens inside the super-op).
+    num_duplicates / overflow: diagnostics as in BinnedSplats.
+    """
+
+    table_src: jax.Array
+    rows_sorted: jax.Array
+    starts_full: jax.Array
+    num_duplicates: jax.Array
+    overflow: jax.Array
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride")
+)
+def bin_splats_presort(
+    splats: ProjectedSplats,
+    cfg: RenderConfig,
+    row_offset=0,
+    local_rows: int | None = None,
+    row_stride: int = 1,
+) -> PresortedBins:
+    """Duplicate expansion + fused (tile|depth) sort WITHOUT the table
+    gather: the fused super-op (ops/fused.py) gathers per-tile row
+    prefixes itself and folds gradients by splat id, so it needs neither
+    the materialized table nor the ``perm`` payload the slot-space fold
+    required — the main sort drops to 2 operands.
+    """
+    if local_rows is None:
+        local_rows = cfg.tiles_y
+    row_offset = jnp.asarray(row_offset, jnp.int32)
+    prep = _prepare_binning(splats, cfg, row_offset, local_rows, row_stride)
+    num_tiles, depth_bits = prep["num_tiles"], prep["depth_bits"]
+    # same deterministic total order as bin_splats (see its comment): the
+    # composite (fused key, splat id) is unique for live entries, so live
+    # order is identical with or without the perm payload.
+    key_sorted, rows_sorted = jax.lax.sort(
+        (prep["keys"], prep["slot_row"]), num_keys=2, is_stable=False
+    )
+    starts_full = jnp.searchsorted(
+        key_sorted,
+        jnp.arange(num_tiles + 1, dtype=jnp.uint32)
+        << jnp.uint32(depth_bits),
+        side="left",
+    ).astype(jnp.int32)
+    return PresortedBins(
+        table_src=prep["table_src"],
+        rows_sorted=rows_sorted,
+        starts_full=starts_full,
+        num_duplicates=starts_full[num_tiles],
+        overflow=prep["overflow"],
     )

@@ -1,0 +1,160 @@
+"""Splat-id gradient fold: compact gradient rows -> per-splat sums.
+
+The classic backward fold (binning._gather_table_rows_bwd) sorts the FULL
+slot capacity (key = flat slot index) so per-splat sums fall out of dense
+level reshapes — cost proportional to CAPACITY, which at garden scale is
+~8x the rows the blend kernels actually processed (81% early-stop dead
+weight, PERF.md r4).  This module folds by SPLAT ID instead, over exactly
+the rows the backward kernel wrote (the compact attribute-major gradient
+buffer of the fused super-op, ops/fused.py):
+
+  1. bf16-pair-pack the 9 gradient rows into 5 u32 rows while still
+     ATTRIBUTE-major (contiguous row ops), then ONE transpose to row-major
+     — measured ~free on this backend (0.4 ms per 64M elements), unlike
+     minor-dim stacks/flattens (~45 ms per 7M, the layout rule that shaped
+     this pipeline);
+  2. ONE 2-operand sort of (id, position) and ONE row gather bring the
+     packed rows into id order, row-major;
+  3. blocked inclusive prefix sums: in-block (128-row) f32 cumsum + a
+     compensated double-f32 exclusive scan over block totals, so segment
+     sums extracted by differencing are accurate to ~ulp of LOCAL 128-row
+     magnitudes, never of the global running sum (a plain f32 cumsum+diff
+     can lose all bits of a small splat's gradient to cancellation);
+  4. per-splat totals = c(end_i) - c(end_{i-1}) with the coarse (block)
+     part differenced in double-f32 via an exact TwoSum-based diff, using
+     TWO n-row gathers (in-block values + packed coarse hi/lo) — no
+     sentinel rows; absent ids difference to exactly zero.
+
+No scatter anywhere; every op is jit/shard_map-safe and runs on CPU.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gaussiansplattingviewer_tpu.ops import binning
+
+_BLK = 128  # in-block cumsum width (one lane tile)
+
+
+def _two_sum(a, b):
+    """Knuth TwoSum: s + e == a + b exactly (all f32 ops)."""
+    s = a + b
+    v = s - a
+    e = (a - (s - v)) + (b - v)
+    return s, e
+
+
+def _comp_scan_incl(x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Inclusive prefix sum of ``x`` along axis 0 in compensated double-f32:
+    returns (hi, lo) with hi + lo ~ exact prefix (error ~2^-46 relative).
+    associative_scan's combine order varies, but every combine is a
+    compensated add, so accuracy holds for any order."""
+
+    def combine(a, b):
+        ah, al = a
+        bh, bl = b
+        s, e = _two_sum(ah, bh)
+        return s, e + al + bl
+
+    zeros = jnp.zeros_like(x)
+    return jax.lax.associative_scan(combine, (x, zeros), axis=0)
+
+
+def fold_rows_by_id(
+    g_soa: jax.Array, n: int, fold_bf16: bool
+) -> jax.Array:
+    """(TABLE_WIDTH, G) compact attribute-major gradient rows ->
+    (n, TABLE_WIDTH) per-splat gradient sums (columns >= GRAD_WIDTH zero).
+
+    Row COL_COUNT of ``g_soa`` holds the owning splat id as an exact f32
+    integer (the fused table carries it; the backward kernel copies it
+    beside the gradients).  Columns with zero gradient — dead lanes,
+    never-written buffer tail (id 0 from the zero init) — fold harmlessly.
+    """
+    gcap = g_soa.shape[1]
+    w9 = binning.GRAD_WIDTH  # 9 gradient rows
+    ids = g_soa[binning.COL_COUNT, :].astype(jnp.int32)
+
+    # --- 1. pack attribute-major, then ONE (free) transpose to row-major
+    if fold_bf16:
+        rows10 = g_soa[: w9 + 1, :]  # (10, G), row 9 is zero padding
+        u16 = jax.lax.bitcast_convert_type(
+            rows10.astype(jnp.bfloat16), jnp.uint16
+        ).astype(jnp.uint32)  # (10, G)
+        packed_soa = u16[0::2, :] | (u16[1::2, :] << jnp.uint32(16))
+        vals_src = packed_soa.T  # (G, 5) u32 row-major
+        w = 10
+    else:
+        vals_src = g_soa[: w9 + 1, :].T  # (G, 10) f32 row-major
+        w = 10
+
+    # --- 2. order by id; one row gather brings the payload along
+    ids_sorted, order = jax.lax.sort(
+        (ids, jnp.arange(gcap, dtype=jnp.int32)), num_keys=1
+    )
+    taken = vals_src[order]
+    if fold_bf16:
+        u16p = jax.lax.bitcast_convert_type(taken, jnp.uint16)  # (m,5,2)
+        vals = (
+            jax.lax.bitcast_convert_type(u16p, jnp.bfloat16)
+            .reshape(gcap, w)
+            .astype(jnp.float32)
+        )
+    else:
+        vals = taken
+
+    # --- 3. blocked prefix sums; pad m to a block multiple (padded ids =
+    # n sort past every query, padded grads are zero)
+    m = -(-gcap // _BLK) * _BLK
+    if m != gcap:
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((m - gcap, w), jnp.float32)]
+        )
+        ids_sorted = jnp.concatenate(
+            [ids_sorted, jnp.full((m - gcap,), n, jnp.int32)]
+        )
+    mb = m // _BLK
+    in_csum = jnp.cumsum(vals.reshape(mb, _BLK, w), axis=1)
+    block_tot = in_csum[:, -1, :]  # (mb, w)
+    co_hi, co_lo = _comp_scan_incl(block_tot)  # inclusive over blocks
+
+    # --- 4. segment extraction by differencing at id boundaries.
+    # ends_i = #rows with id <= i; e_i = ends_i - 1 is the last row of
+    # id <= i.  c(e) = coarse_excl[e // BLK] + in_block(e); absent ids
+    # difference to zero because their end equals the previous end.
+    ends = jnp.searchsorted(
+        ids_sorted, jnp.arange(1, n + 1, dtype=jnp.int32), side="left"
+    ).astype(jnp.int32)
+    in_ext = jnp.concatenate(
+        [jnp.zeros((1, w), jnp.float32), in_csum.reshape(m, w)]
+    )
+    co_pack = jnp.concatenate(
+        [
+            jnp.zeros((1, 2 * w), jnp.float32),
+            jnp.concatenate([co_hi, co_lo], axis=1),
+        ]
+    )  # (mb + 1, 2w): row k+1 = inclusive coarse of block k
+    e_in = in_ext[ends]  # (n, w): in-block inclusive at e_i (0 if ends=0)
+    co_idx = jnp.maximum((ends - 1) // _BLK, 0)  # block of e_i; 0 -> row 0
+    e_co = co_pack[co_idx]  # coarse EXCLUSIVE of e_i's block (hi | lo)
+
+    def prev(a):
+        return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]])
+
+    d_hi, d_err = _two_sum(e_co[:, :w], -prev(e_co[:, :w]))
+    small = (
+        d_err
+        + (e_co[:, w:] - prev(e_co[:, w:]))
+        + (e_in - prev(e_in))
+    )
+    totals = (d_hi + small)[:, :w9]  # (n, 9)
+
+    return jnp.concatenate(
+        [
+            totals,
+            jnp.zeros((n, binning.TABLE_WIDTH - w9), jnp.float32),
+        ],
+        axis=1,
+    )

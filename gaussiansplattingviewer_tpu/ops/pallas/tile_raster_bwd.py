@@ -80,7 +80,7 @@ def _suffix_sum_strict(x: jnp.ndarray, exact: bool = False) -> jnp.ndarray:
 def _block_grads(
     rows, live, gscratch, slot, bs, be, t_block, suffix,
     px, py, ox, oy, basis, g_rgb, gto,
-    cfg: RenderConfig, exact_scan: bool,
+    cfg: RenderConfig, exact_scan: bool, carry_id: bool = False,
 ):
     """Gradient math for one (16, SCAN_BLOCK) block: recompute the forward
     alpha, emit per-row gradients into gscratch[slot, :, bs:be], and return
@@ -222,6 +222,16 @@ def _block_grads(
         gscratch[slot, b.COL_OPACITY : b.COL_OPACITY + 1, bs:be] = g_op
         gscratch[slot, b.COL_R : b.COL_BCH + 1, bs:be] = g_col
 
+    if carry_id:
+        # fused path: the owning splat id rides in the table's COL_COUNT
+        # row (set by ops/fused.py before the gather); copying it beside
+        # the gradients lets the fold group rows by splat with no
+        # position bookkeeping.  Dead lanes carry a neighbor's id with
+        # zero gradient — harmless in the fold.
+        gscratch[slot, b.COL_COUNT : b.COL_COUNT + 1, bs:be] = rows[
+            b.COL_COUNT : b.COL_COUNT + 1, :
+        ]
+
     # full-block total of u rides out as the next (earlier) block's carry:
     # suf_in[:, 0] + u[:, 0] is the INCLUSIVE block suffix at lane 0
     return suffix + suf_in[:, 0:1] + u[:, 0:1]
@@ -231,26 +241,43 @@ def _bwd_kernel(
     starts_ref,  # scalar prefetch (T+1,)
     counts_ref,  # scalar prefetch (T,)
     nproc_ref,  # scalar prefetch (T,): forward's processed-chunk counts
-    rowoff_ref,  # scalar prefetch (1,) tile-row offset of this shard
-    g_ref,  # VMEM block (1, P, 4): [g_rgb | g_trans]
-    out_res_ref,  # VMEM block (1, P, 1): forward transmittance
-    table_ref,  # ANY (16, Dpad)
-    ckpt_ref,  # ANY (2, Dpad): forward per-block entering transmittance
-    gtable_init_ref,  # ANY (16, Dpad) zeros, aliased to output
-    gtable_ref,  # ANY (16, Dpad) output
-    scratch,  # VMEM (N_BUF, 16, CHUNK)
-    ckscratch,  # VMEM (N_BUF, 2, CHUNK): checkpoint columns per chunk
-    gscratch,  # VMEM (N_BUF, 16, CHUNK): double-buffered gradient staging
-    gprev_scratch,  # VMEM (16, CHUNK): boundary-block RMW accumulator
-    sems,  # DMA (N_BUF,)
-    cksems,  # DMA (N_BUF,)
-    out_sems,  # DMA (N_BUF,)
-    prev_sem,  # DMA ()
-    *,
+    *rest,
     cfg: RenderConfig,
     row_stride: int = 1,
     exact_scan: bool = False,
+    fused: bool = False,
 ):
+    """Classic layout (fused=False), remaining refs:
+      rowoff_ref (1,) prefetch; g_ref (1,P,4) VMEM [g_rgb | g_trans];
+      out_res_ref (1,P,1) VMEM forward transmittance; table_ref ANY
+      (16,Dpad); ckpt_ref ANY (2,Dpad) entering-transmittance
+      checkpoints; gtable_init_ref ANY zeros aliased to gtable_ref ANY
+      (16,Dpad) output; scratch (N_BUF,16,CHUNK); ckscratch
+      (N_BUF,2,CHUNK); gscratch (N_BUF,16,CHUNK); gprev_scratch
+      (16,CHUNK) boundary RMW accumulator; sems/cksems/out_sems/prev_sem.
+
+    Fused layout (fused=True, the super-op's compact path): adds
+      goff_ref (T,) prefetch — per-tile CHUNK-aligned offsets into the
+      compact row-major gradient buffer (exclusive cumsum of
+      nproc*CHUNK; tiles are write-EXCLUSIVE so the boundary RMW
+      machinery is deleted); aux_ref (1,P,2) VMEM — [:, 0] the backward
+      suffix carry entering this tile from later blend passes (pass 1
+      receives g . rgb_residual), [:, 1] the tile's entering
+      transmittance (1.0 for pass 1, the pass-1 exit for the residual
+      pass); gtable stays ATTRIBUTE-major but compact, (16, G) — the id
+      fold transposes it once in XLA (measured free, ~0.4 ms per 64M
+      elements) before gathering rows; narrow-minor (CHUNK, 16) VMEM
+      staging does not lower in Mosaic (lane tiling is 128).
+      gprev/prev_sem dropped (tiles are write-exclusive).
+    """
+    if fused:
+        (goff_ref, rowoff_ref, g_ref, out_res_ref, aux_ref, table_ref,
+         ckpt_ref, gtable_init_ref, gtable_ref, scratch, ckscratch,
+         gscratch, sems, cksems, out_sems) = rest
+    else:
+        (rowoff_ref, g_ref, out_res_ref, table_ref, ckpt_ref,
+         gtable_init_ref, gtable_ref, scratch, ckscratch, gscratch,
+         gprev_scratch, sems, cksems, out_sems, prev_sem) = rest
     del gtable_init_ref
     t = pl.program_id(0)
     nt = pl.num_programs(0)
@@ -324,25 +351,40 @@ def _bwd_kernel(
             cksems.at[slot],
         )
 
-    def get_gprev_dma(chunk_idx):
-        # adjacent tiles share boundary blocks of the compact layout, so
-        # gradient writes are read-modify-write (the grid is sequential on
-        # a single TensorCore; the already-completed neighbor's write — or
-        # the zero initialization — is what gets accumulated)
-        offset = pl.multiple_of(base + chunk_idx * CHUNK, SEGMENT_ALIGN)
-        return pltpu.make_async_copy(
-            gtable_ref.at[:, pl.ds(offset, CHUNK)],
-            gprev_scratch,
-            prev_sem,
-        )
+    if not fused:
+
+        def get_gprev_dma(chunk_idx):
+            # adjacent tiles share boundary blocks of the compact layout,
+            # so gradient writes are read-modify-write (the grid is
+            # sequential on a single TensorCore; the already-completed
+            # neighbor's write — or the zero initialization — is what
+            # gets accumulated)
+            offset = pl.multiple_of(base + chunk_idx * CHUNK, SEGMENT_ALIGN)
+            return pltpu.make_async_copy(
+                gtable_ref.at[:, pl.ds(offset, CHUNK)],
+                gprev_scratch,
+                prev_sem,
+            )
 
     def put_dma(k_step):
-        # double-buffered: the put for step k streams from gscratch slot
-        # k % N_BUF while step k+1 computes into the other slot
+        # double-buffered: the put for step k streams from the slot
+        # k % N_BUF staging buffer while step k+1 computes into the other
+        slot = jax.lax.rem(k_step, N_BUF)
+        if fused:
+            # write-exclusive compact region [goff[t], goff[t] +
+            # nproc*CHUNK) along the column axis; chunk ci lands at
+            # goff[t] + ci*CHUNK (goff entries are CHUNK multiples)
+            offset = pl.multiple_of(
+                goff_ref[t] + chunk_of(k_step) * CHUNK, CHUNK
+            )
+            return pltpu.make_async_copy(
+                gscratch.at[slot],
+                gtable_ref.at[:, pl.ds(offset, CHUNK)],
+                out_sems.at[slot],
+            )
         offset = pl.multiple_of(
             base + chunk_of(k_step) * CHUNK, SEGMENT_ALIGN
         )
-        slot = jax.lax.rem(k_step, N_BUF)
         return pltpu.make_async_copy(
             gscratch.at[slot],
             gtable_ref.at[:, pl.ds(offset, CHUNK)],
@@ -380,16 +422,18 @@ def _bwd_kernel(
         def _():
             put_dma(k - N_BUF).wait()
 
-        # only the first/last chunk of a tile can share its 128-block with
-        # a neighboring tile; interior chunks are exclusively owned, so the
-        # read-modify-write accumulate is confined to the boundaries
-        boundary = ((ci == 0) & (start > base)) | (
-            (ci == num_chunks - 1) & (end < base + num_chunks * CHUNK)
-        )
+        if not fused:
+            # only the first/last chunk of a tile can share its 128-block
+            # with a neighboring tile; interior chunks are exclusively
+            # owned, so the read-modify-write accumulate is confined to
+            # the boundaries
+            boundary = ((ci == 0) & (start > base)) | (
+                (ci == num_chunks - 1) & (end < base + num_chunks * CHUNK)
+            )
 
-        @pl.when(boundary)
-        def _():
-            get_gprev_dma(ci).start()
+            @pl.when(boundary)
+            def _():
+                get_gprev_dma(ci).start()
 
         rows_chunk = scratch[slot]  # (16, CHUNK)
         # blocks processed in REVERSE within the chunk; each block's
@@ -416,20 +460,33 @@ def _bwd_kernel(
                 axis=0,
             )
             if bi == 0:
-                t_block = jnp.where(ci == 0, 1.0, t_block)
+                # the tile's very first block has no stored checkpoint:
+                # its entering transmittance is 1.0 (or the seeded value
+                # of the fused residual pass)
+                t_block = jnp.where(ci == 0, t_entry, t_block)
             suffix = _block_grads(
                 rows, live, gscratch, slot, bs, be, t_block, suffix,
                 px, py, ox, oy, basis, g_rgb, gto, cfg, exact_scan,
+                carry_id=fused,
             )
-        @pl.when(boundary)
-        def _():
-            get_gprev_dma(ci).wait()
-            gscratch[slot, :, :] = gscratch[slot, :, :] + gprev_scratch[:, :]
+        if not fused:
+            @pl.when(boundary)
+            def _():
+                get_gprev_dma(ci).wait()
+                gscratch[slot, :, :] = (
+                    gscratch[slot, :, :] + gprev_scratch[:, :]
+                )
 
         put_dma(k).start()
         return k + 1, suffix
 
-    init = (0, jnp.zeros((p, 1), jnp.float32))
+    if fused:
+        suffix0 = aux_ref[0, :, 0:1]
+        t_entry = aux_ref[0, :, 1:2]
+    else:
+        suffix0 = jnp.zeros((p, 1), jnp.float32)
+        t_entry = jnp.float32(1.0)
+    init = (0, suffix0)
     k_fin, _ = jax.lax.while_loop(cond, body, init)
 
     # start the next tile's last processed chunk; all this tile's gets
@@ -470,6 +527,85 @@ def blend_bwd_pallas(
         table.T, starts, counts, nproc, ckpt, row_offset, g_rgb, g_trans,
         out_trans, cfg, local_rows, row_stride,
     ).T
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "local_rows", "row_stride", "grad_rows"),
+)
+def blend_bwd_fused(
+    table_soa, starts, counts, nproc, goff, ckpt, row_offset, g_rgb,
+    g_trans, out_trans, suffix_init, t_entry, grad_rows: int,
+    cfg: RenderConfig, local_rows: int | None = None, row_stride: int = 1,
+):
+    """Fused compact backward: gradients land at CHUNK-aligned compacted
+    COLUMN offsets ``goff`` (T,) — write-exclusive per tile — in a
+    (16, grad_rows) attribute-major buffer whose COL_COUNT row carries
+    the owning splat id (for ops/fold.fold_rows_by_id).  suffix_init
+    (T, P) seeds the backward suffix carry (pass 1 receives
+    g . rgb_residual); t_entry (T, P) the tile's entering transmittance
+    (ones for pass 1).
+
+    The caller must pre-clamp nproc to 0 for tiles whose region exceeds
+    ``grad_rows`` (they lose their gradients for the step — count them in
+    the grad_overflow diagnostic and retune)."""
+    p = cfg.tile_size * cfg.tile_size
+    if local_rows is None:
+        local_rows = cfg.tiles_y
+    num_tiles = local_rows * cfg.tiles_x
+    interpret = jax.default_backend() == "cpu"
+    assert grad_rows % CHUNK == 0
+
+    g_packed = jnp.concatenate([g_rgb, g_trans[..., None]], axis=-1)
+    out_packed = out_trans[..., None]
+    aux = jnp.stack([suffix_init, t_entry], axis=-1)  # (T, P, 2)
+    gtable_zero = jnp.zeros((TABLE_WIDTH, grad_rows), jnp.float32)
+
+    rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1)
+    nproc = nproc.astype(jnp.int32).reshape(-1)
+    goff = goff.astype(jnp.int32).reshape(-1)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, p, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, p, 1), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, p, 2), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.VMEM((N_BUF, p // SCAN_BLOCK, CHUNK), jnp.float32),
+            pltpu.VMEM((N_BUF, TABLE_WIDTH, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+            pltpu.SemaphoreType.DMA((N_BUF,)),
+        ],
+    )
+
+    return pl.pallas_call(
+        functools.partial(
+            _bwd_kernel, cfg=cfg, row_stride=row_stride,
+            exact_scan=interpret, fused=True,
+        ),
+        out_shape=jax.ShapeDtypeStruct((TABLE_WIDTH, grad_rows), jnp.float32),
+        grid_spec=grid_spec,
+        input_output_aliases={10: 0},  # zeros input -> output buffer
+        interpret=interpret,
+    )(
+        starts, counts, nproc, goff, rowoff, g_packed, out_packed, aux,
+        table_soa, ckpt, gtable_zero,
+    )
 
 
 @functools.partial(

@@ -204,13 +204,20 @@ def _fwd_kernel(
     counts_ref,  # scalar prefetch: (T,) i32 (live rows per tile)
     rowoff_ref,  # scalar prefetch: (1,) i32 tile-row offset of this shard
     table_ref,  # HBM/ANY: (16, Dpad) f32, attribute-major
-    out_ref,  # VMEM block: (1, P, 4) — rgb cols 0..2, transmittance col 3
-    *rest,  # with_ckpt: nproc_ref, ckpt_ref, then scratch/sems
+    *rest,  # [tinit_ref if seeded], out_ref, [nproc_ref, ckpt_ref], scratch
     cfg: RenderConfig,
     row_stride: int = 1,
     with_ckpt: bool = False,
     exact_scan: bool = False,
+    seeded: bool = False,
 ):
+    if seeded:
+        # per-tile ENTERING transmittance (the residual pass of the fused
+        # prefix path, ops/fused.py: pass 2 continues each tile from
+        # pass 1's exit transmittance — exact by compositional
+        # associativity; rgb still accumulates from zero, the caller adds)
+        tinit_ref, *rest = rest
+    out_ref, *rest = rest
     if with_ckpt:
         # nproc: (T,) i32 SMEM processed-chunk counts; ckpt: (2, Dpad) f32
         # per-128-block ENTERING transmittance (stored at the block's OWN
@@ -330,7 +337,10 @@ def _fwd_kernel(
         return ci + 1, rgb, trans
 
     rgb = jnp.zeros((p, 3), jnp.float32)
-    trans = jnp.ones((p, 1), jnp.float32)
+    if seeded:
+        trans = tinit_ref[0, :, 0:1]
+    else:
+        trans = jnp.ones((p, 1), jnp.float32)
     ci, rgb, trans = jax.lax.while_loop(cond, body, (0, rgb, trans))
 
     # drain the in-flight DMA if the transmittance early-stop fired
@@ -421,9 +431,32 @@ def rasterize_binned_pallas_train(
     return out[:, :, 0:3], out[:, :, 3], ckpt, nproc
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "local_rows", "row_stride", "train")
+)
+def rasterize_binned_pallas_seeded(
+    table_soa, starts, counts, t_init, row_offset, cfg: RenderConfig,
+    local_rows: int | None = None, row_stride: int = 1,
+    train: bool = False,
+):
+    """Seeded blend for the fused prefix path's RESIDUAL pass: each tile's
+    transmittance carry starts from ``t_init`` (T, P) — pass 1's exit
+    transmittance — while rgb accumulates from zero (the caller adds the
+    pass-1 rgb).  train=True additionally emits the backward residuals
+    (ckpt, nproc) like rasterize_binned_pallas_train."""
+    out = _rasterize_impl(
+        table_soa, starts, counts, row_offset, cfg, local_rows,
+        row_stride, with_ckpt=train, t_init=t_init,
+    )
+    if train:
+        o, nproc, ckpt = out
+        return o[:, :, 0:3], o[:, :, 3], ckpt, nproc
+    return out[0][:, :, 0:3], out[0][:, :, 3]
+
+
 def _rasterize_impl(
     table_soa, starts, counts, row_offset, cfg: RenderConfig,
-    local_rows, row_stride, with_ckpt: bool,
+    local_rows, row_stride, with_ckpt: bool, t_init=None,
 ):
     p = cfg.tile_size * cfg.tile_size
     if local_rows is None:
@@ -431,6 +464,18 @@ def _rasterize_impl(
     num_tiles = local_rows * cfg.tiles_x
     rowoff = jnp.asarray(row_offset, jnp.int32).reshape(1)
     interpret = jax.default_backend() == "cpu"
+    seeded = t_init is not None
+
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    inputs = [table_soa]
+    if seeded:
+        in_specs.append(
+            pl.BlockSpec(
+                (1, p, 1), lambda i, *_: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        inputs.append(t_init.reshape(num_tiles, p, 1))
 
     out_specs = [
         pl.BlockSpec(
@@ -461,7 +506,7 @@ def _rasterize_impl(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        in_specs=in_specs,
         out_specs=out_specs,
         scratch_shapes=scratch_shapes,
     )
@@ -469,9 +514,9 @@ def _rasterize_impl(
     return pl.pallas_call(
         functools.partial(
             _fwd_kernel, cfg=cfg, row_stride=row_stride,
-            with_ckpt=with_ckpt, exact_scan=interpret,
+            with_ckpt=with_ckpt, exact_scan=interpret, seeded=seeded,
         ),
         out_shape=out_shapes,
         grid_spec=grid_spec,
         interpret=interpret,
-    )(starts, counts, rowoff, table_soa)
+    )(starts, counts, rowoff, *inputs)

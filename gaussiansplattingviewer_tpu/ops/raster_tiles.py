@@ -57,28 +57,56 @@ def rasterize_tiles(
     return_aux: bool = False,
     use_pallas: bool = True,
 ):
-    """Tile-binned render of projected splats -> (H, W, 3) image."""
-    from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
+    """Tile-binned render of projected splats -> (H, W, 3) image.
 
-    binned = binning.bin_splats(splats, cfg)
-    rgb_tiles, trans_tiles = blend_tiles(
-        cfg,
-        use_pallas,
-        cfg.tiles_y,
-        1,
-        binned.table,
-        binned.tile_starts,
-        binned.tile_counts,
-        jnp.int32(0),
-    )
+    cfg.fused_grad routes through the fused super-op (ops/fused.py:
+    budgeted prefix gather + seeded residual pass + compact id-folded
+    backward) — Pallas executor only; the XLA executor keeps the classic
+    path regardless (the two agree to fp tolerance, so cross-backend
+    parity checks still compare independent code paths).
+    """
+    if cfg.fused_grad and use_pallas:
+        from gaussiansplattingviewer_tpu.ops.fused import blend_fused
+
+        pres = binning.bin_splats_presort(splats, cfg)
+        rgb_tiles, trans_tiles, diag = blend_fused(
+            cfg, cfg.tiles_y, 1, pres.table_src, pres.rows_sorted,
+            pres.starts_full, jnp.int32(0),
+        )
+        num_dup = pres.num_duplicates
+        overflow = pres.overflow
+        truncated = (diag[0] + diag[1]).astype(jnp.int32)
+        extra = {
+            "grad_rows_needed": diag[2],
+            "grad_rows_dropped": diag[3],
+        }
+    else:
+        from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
+
+        binned = binning.bin_splats(splats, cfg)
+        rgb_tiles, trans_tiles = blend_tiles(
+            cfg,
+            use_pallas,
+            cfg.tiles_y,
+            1,
+            binned.table,
+            binned.tile_starts,
+            binned.tile_counts,
+            jnp.int32(0),
+        )
+        num_dup = binned.num_duplicates
+        overflow = binned.overflow
+        truncated = binned.truncated
+        extra = {}
     img, trans = _tiles_to_image(rgb_tiles, trans_tiles, cfg)
     img = img + cfg.background * trans[..., None]
     if return_aux:
         aux = {
             "transmittance": trans,
-            "num_duplicates": binned.num_duplicates,
-            "overflow": binned.overflow,
-            "truncated": binned.truncated,
+            "num_duplicates": num_dup,
+            "overflow": overflow,
+            "truncated": truncated,
+            **extra,
         }
         if cfg.debug:
             aux.update(debug_counters(splats, img))

@@ -31,6 +31,7 @@ from gaussiansplattingviewer_tpu.models.gaussians import GaussianData
 from gaussiansplattingviewer_tpu.ops import binning
 from gaussiansplattingviewer_tpu.ops.blend import blend_tiles
 from gaussiansplattingviewer_tpu.ops.compaction import (
+    compact_by_mask,
     compact_splats,
     pack_splats,
     unpack_splats,
@@ -249,12 +250,81 @@ def _splats_from_received(rows_rx, valid_rx):
     return unpack_splats(rows_rx, valid_rx)
 
 
+def band_precull_mask(scene, view, proj, cfg: RenderConfig, ty_lo, ty_hi,
+                      row_stride: int = 1):
+    """CHEAP conservative test: can this splat's footprint touch the tile
+    rows {ty_lo + s * row_stride} ∩ [ty_lo, ty_hi)?
+
+    Runs BEFORE full projection so a shard can compact the raw scene and
+    pay projection/SH/covariance only on its band's candidates — the
+    per-chip O(N) floor that capped replicated-mode strong scaling at
+    ~0.4 by 8 shards (VERDICT r4).  Costs one fused elementwise pass:
+    view transform + a radius UPPER BOUND from the largest scale axis.
+
+    Conservative by construction (never drops a splat the exact path
+    keeps): the y radius is bounded via |T_row| * s_max >= sqrt(cov_yy)
+    (operator-norm bound on the EWA Jacobian row, gau_vert.glsl:95-120),
+    the NDC cull uses the exact reference limit plus an fp margin, and
+    both are inflated 1%.  Splats it keeps that the exact path culls are
+    merely re-culled later, so sharded output stays bit-exact.
+    """
+    f32 = jnp.float32
+    xyz = scene.xyz.astype(f32)
+    view = jnp.asarray(view, f32)
+    proj = jnp.asarray(proj, f32)
+    mean_view = xyz @ view[:3, :3].T + view[:3, 3]
+    n = xyz.shape[0]
+    clip = jnp.concatenate(
+        [mean_view, jnp.ones((n, 1), f32)], axis=-1
+    ) @ proj.T
+    w = clip[..., 3]
+    w_safe = jnp.where(jnp.abs(w) < 1e-8, 1e-8, w)
+    ndc = clip[..., :3] / w_safe[..., None]
+    # exact global culls with an fp margin (project() recomputes exactly)
+    lim = cfg.ndc_cull_limit * 1.001 + 1e-5
+    maybe_visible = jnp.all(jnp.abs(ndc) <= lim, axis=-1) & (w > 0.0)
+    maybe_visible &= scene.opacity[..., 0] > 0.0
+
+    # y-radius upper bound: 3*sqrt(|t1|^2 s_max^2 + 0.3) with
+    # |t1| <= (focal/|tz|) * (1 + 1.3 tanfovy)  (J row norm x unit view
+    # rows; the 1.3 factor is the fov clamp's worst case)
+    mode = int(cfg.mode)
+    from gaussiansplattingviewer_tpu.config import RenderMode
+
+    scale_mult = cfg.scale_modifier * (
+        cfg.depth_scale_inflate if mode == RenderMode.DEPTH else 1.0
+    )
+    s_max = jnp.max(scene.scale.astype(f32), axis=-1) * scale_mult
+    htany = 1.0 / proj[1, 1]
+    focal = cfg.height / (2.0 * htany)
+    tz = jnp.maximum(jnp.abs(mean_view[..., 2]), 1e-8)
+    t1 = focal / tz * (1.0 + 1.3 * htany)
+    ry = 3.0 * jnp.sqrt((t1 * s_max) ** 2 + 0.3) * 1.01 + 0.5
+
+    py = (1.0 - ndc[..., 1]) * 0.5 * cfg.height
+    ts = float(cfg.tile_size)
+    y0 = jnp.floor((py - ry) / ts).astype(jnp.int32)
+    y1 = jnp.floor((py + ry) / ts).astype(jnp.int32)
+    ty_lo = jnp.asarray(ty_lo, jnp.int32)
+    ty_hi = jnp.asarray(ty_hi, jnp.int32)
+    if row_stride == 1:
+        in_band = (y1 >= ty_lo) & (y0 <= ty_hi - 1)
+    else:
+        lo = jnp.maximum(y0 - ty_lo, 0)
+        hi = jnp.minimum(y1, ty_hi - 1) - ty_lo
+        s0 = (lo + (row_stride - 1)) // row_stride
+        s1 = jnp.where(hi >= 0, hi // row_stride, -1)
+        in_band = (y1 >= 0) & (s1 >= s0)
+    return maybe_visible & in_band
+
+
 def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
                  use_pallas: bool, shard_splats: bool = False,
                  row_stride: int = 1, band_budget_factor: float | None = 2.5,
                  gather_budget_factor: float | None = None,
                  exchange: bool = False, n_shards: int = 1,
                  exchange_budget_factor: float = 3.0,
+                 precull_budget_factor: float | None = None,
                  idx=None, axis=TILE_AXIS):
     """Per-device body: render this device's set of tile rows — the
     contiguous band {idx*rows + s} (row_stride == 1) or the INTERLEAVED
@@ -291,6 +361,35 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
     row0 = jnp.asarray(
         idx * (rows if row_stride == 1 else 1), jnp.int32
     )
+
+    if (
+        precull_budget_factor is not None
+        and rows < cfg.tiles_y
+        and not shard_splats
+    ):
+        # cheap conservative band pre-cull BEFORE projection: the full
+        # EWA/SH projection (the largest replicated O(N) term) then runs
+        # only on this band's candidates.  Conservative keep-set +
+        # order-preserving compaction => sharded output stays bit-exact
+        # (tests/test_sharding.py).  Band compaction below is subsumed.
+        ty_hi = (
+            row0 + rows
+            if row_stride == 1
+            else row0 + (rows - 1) * row_stride + 1
+        )
+        mask = band_precull_mask(
+            scene, view, proj, cfg, row0, ty_hi, row_stride
+        )
+        n_all = mask.shape[0]
+        frac = min(1.0, rows / cfg.tiles_y * precull_budget_factor)
+        budget = _round_budget(int(n_all * frac), n_all)
+        scene, kept, _ = compact_by_mask(scene, mask, budget)
+        # mask the tail by zeroing opacity (project treats it as padding)
+        scene = dataclasses.replace(
+            scene,
+            opacity=jnp.where(kept[:, None], scene.opacity, 0.0),
+        )
+        band_budget_factor = None
 
     splats = project(scene, view, proj, cam_pos, cfg)
     if shard_splats and exchange:
@@ -381,7 +480,8 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
                            band_budget_factor: float | None = 2.5,
                            gather_budget_factor: float | None = None,
                            exchange: bool = False,
-                           exchange_budget_factor: float = 3.0):
+                           exchange_budget_factor: float = 3.0,
+                           precull_budget_factor: float | None = None):
     """Build a jit'd sharded render: (scene, view, proj, cam_pos) -> (H, W, 3).
 
     Camera inputs are replicated; the image is computed with its tile rows
@@ -413,7 +513,8 @@ def make_sharded_render_fn(mesh, cfg: RenderConfig, use_pallas: bool | None = No
         band_budget_factor=band_budget_factor,
         gather_budget_factor=gather_budget_factor,
         exchange=exchange, n_shards=n_shards,
-        exchange_budget_factor=exchange_budget_factor, axis=axes,
+        exchange_budget_factor=exchange_budget_factor,
+        precull_budget_factor=precull_budget_factor, axis=axes,
     )
 
     scene_spec = P(axes) if shard_splats else P()
@@ -474,7 +575,8 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
                             band_budget_factor: float | None = 2.5,
                             gather_budget_factor: float | None = None,
                             exchange: bool = False,
-                            exchange_budget_factor: float = 3.0):
+                            exchange_budget_factor: float = 3.0,
+                            precull_budget_factor: float | None = None):
     """Full multi-chip training step: L2 loss against a target image,
     gradient all-reduce over the mesh, optax update.
 
@@ -491,6 +593,7 @@ def make_sharded_train_step(mesh, cfg: RenderConfig, optimizer=None,
         interleaved=interleaved, band_budget_factor=band_budget_factor,
         gather_budget_factor=gather_budget_factor,
         exchange=exchange, exchange_budget_factor=exchange_budget_factor,
+        precull_budget_factor=precull_budget_factor,
     )
 
     def loss_fn(scene, view, proj, cam_pos, target):

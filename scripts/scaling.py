@@ -25,14 +25,16 @@ Run with --platform tpu to time the real per-shard programs (Pallas blend)
 on the TPU chip.  Writes SCALING.json (CPU) / SCALING_TPU.json (TPU) and
 prints a table.
 
-EFFICIENCY DEFINITION (round 4): efficiency = sum_i t_i / (N * (max_i t_i
-+ comm)) — <= 1.0 BY CONSTRUCTION.  The numerator is the total device
-work of the N-shard decomposition itself, so the metric measures load
-balance plus communication overhead, and cannot report the >1.0
-superlinear artifacts the old T1-based ratio produced (a single-shard
-baseline is inflated by O(n log n) sort splitting and cache effects the
-N-shard runs don't share; VERDICT r3).  ``vs_single_chip`` keeps the old
-T1 ratio as an informational field.
+EFFICIENCY DEFINITIONS (round 5 — the HEADLINE is the honest one):
+  * ``scaling_eff`` = T1 / (N * (max_i t_i + comm)) — strong-scaling
+    efficiency against the measured single-shard frame time.  THIS is
+    what BASELINE.json's ">=80% tiles/s scaling eff" means, and it is the
+    headline metric of every run row.
+  * ``balance_eff`` = sum_i t_i / (N * (max_i t_i + comm)) — <= 1.0 by
+    construction; measures load balance + comm overhead of the N-shard
+    decomposition ONLY (it cannot see per-chip fixed costs, so it
+    overstates scaling; round 4 mistakenly led with it — VERDICT r4).
+    Kept as a secondary column.
 
 TRAIN-STEP COMM MODEL: inference is collective-free (the image stays
 row-sharded), but a replicated-scene training step all-reduces the full
@@ -216,8 +218,10 @@ def main():
     t1 = None
     for n_dev in (1, 2, 4, 8):
         rows = _rows_per_shard(cfg, n_dev)
-        for interleaved in (False, True):
-            if n_dev == 1 and interleaved:
+        for interleaved, precull in (
+            (False, False), (True, False), (False, True), (True, True),
+        ):
+            if n_dev == 1 and (interleaved or precull):
                 continue
             stride = n_dev if interleaved else 1
             # idx is a TRACED argument: one compile covers every shard of
@@ -226,6 +230,7 @@ def main():
                 functools.partial(
                     _render_band, cfg=cfg, rows=rows,
                     use_pallas=use_pallas, row_stride=stride,
+                    precull_budget_factor=2.0 if precull else None,
                 )
             )
             t_shards = [
@@ -236,23 +241,25 @@ def main():
             t_max, t_mean = max(t_shards), sum(t_shards) / len(t_shards)
             if n_dev == 1:
                 t1 = t_max
-            # <= 1 by construction: work of THIS decomposition / N*max
-            eff = sum(t_shards) / (n_dev * t_max)
+            balance_eff = sum(t_shards) / (n_dev * t_max)
+            scaling_eff = t1 / (n_dev * t_max)
             key = "interleaved" if interleaved else "contiguous"
+            if precull:
+                key = "precull-" + key
             tiles_s = cfg.num_tiles / t_max
             results["runs"].append({
                 "n_dev": n_dev, "assignment": key,
                 "shard_ms": [round(t * 1e3, 2) for t in t_shards],
                 "projected_ms_per_frame": round(t_max * 1e3, 2),
+                "scaling_eff": round(scaling_eff, 3),
                 "balance": round(t_mean / t_max, 3),
+                "balance_eff": round(balance_eff, 3),
                 "projected_tiles_per_s": round(tiles_s, 1),
-                "efficiency": round(eff, 3),
-                "vs_single_chip": round(t1 / (n_dev * t_max), 3),
             })
             print(
-                f"n_dev={n_dev} {key:12s} max {t_max*1e3:8.2f} ms  "
-                f"balance {t_mean/t_max:.3f}  eff={eff:.3f}  "
-                f"vs1={t1 / (n_dev * t_max):.3f}",
+                f"n_dev={n_dev} {key:18s} max {t_max*1e3:8.2f} ms  "
+                f"SCALING_EFF={scaling_eff:.3f}  "
+                f"balance_eff={balance_eff:.3f}",
                 flush=True,
             )
 
@@ -261,7 +268,8 @@ def main():
         t_shards, comm_s, mbytes = exchange_run(n_dev, interleaved)
         t_max = max(t_shards)
         t_tot = t_max + comm_s
-        eff = sum(t_shards) / (n_dev * t_tot)  # <= 1 by construction
+        balance_eff = sum(t_shards) / (n_dev * t_tot)
+        scaling_eff = t1 / (n_dev * t_tot)
         kind = "interleaved" if interleaved else "contiguous"
         results["runs"].append({
             "n_dev": n_dev, "assignment": f"exchange-{kind}",
@@ -270,14 +278,14 @@ def main():
             "ici_gbps_assumed": ICI_GBPS,
             "max_send_bytes": int(mbytes),
             "projected_ms_per_frame": round(t_tot * 1e3, 2),
+            "scaling_eff": round(scaling_eff, 3),
             "balance": round(sum(t_shards) / len(t_shards) / t_max, 3),
+            "balance_eff": round(balance_eff, 3),
             "projected_tiles_per_s": round(cfg.num_tiles / t_tot, 1),
-            "efficiency": round(eff, 3),
-            "vs_single_chip": round(t1 / (n_dev * t_tot), 3),
         })
         print(
-            f"n_dev={n_dev} exchange     max {t_max*1e3:8.2f} ms "
-            f"+ici {comm_s*1e3:5.2f}  eff={eff:.3f}",
+            f"n_dev={n_dev} exchange-{kind[:4]} max {t_max*1e3:8.2f} ms "
+            f"+ici {comm_s*1e3:5.2f}  SCALING_EFF={scaling_eff:.3f}",
             flush=True,
         )
 

@@ -64,7 +64,7 @@ BS_REL_P99_TOL = 1e-4
 
 def run_case(n_splats, width, height, mean_scale, extent, sh_degree,
              eye_z, seed, fwd_tol=FWD_TOL, rel_max_tol=REL_MAX_TOL,
-             rel_p99_tol=REL_P99_TOL):
+             rel_p99_tol=REL_P99_TOL, cfg_extra=None):
     import jax
     import jax.numpy as jnp
 
@@ -75,6 +75,10 @@ def run_case(n_splats, width, height, mean_scale, extent, sh_degree,
     from gaussiansplattingviewer_tpu.utils.camera import Camera
 
     cfg = RenderConfig(width=width, height=height, grad_fold_bf16=False)
+    if cfg_extra:
+        # the tile backend ignores fused_grad/prefix (classic path), so
+        # fused configs still compare two independent code paths
+        cfg = cfg.with_(**cfg_extra)
     scene = random_scene(
         n_splats, sh_degree=sh_degree, seed=seed, extent=extent,
         mean_scale=mean_scale,
@@ -109,7 +113,9 @@ def run_case(n_splats, width, height, mean_scale, extent, sh_degree,
     result = {
         "backend": jax.default_backend(),
         "config": {"n_splats": n_splats, "width": cfg.width,
-                   "height": cfg.height, "grad_fold_bf16": False},
+                   "height": cfg.height, "grad_fold_bf16": False,
+                   "fused_grad": bool(cfg.fused_grad),
+                   "prefix_rows": int(cfg.prefix_rows)},
         "fwd_max_abs_diff": fwd_max,
         "fields": {},
     }
@@ -156,11 +162,19 @@ def main():
     )
     ok = result["pass"]
     if args.bench_scale:
+        # the FUSED prefix/residual/compact-grad path (ops/fused.py) at
+        # bench shapes — the production configuration at garden scale.
+        # prefix_rows=512 forces real residual-pass traffic at this
+        # density; the small case above keeps verifying the classic path.
         bs = run_case(
             500_000, 1920, 1080, mean_scale=0.015, extent=4.0,
             sh_degree=3, eye_z=9.0, seed=0,
             fwd_tol=BS_FWD_TOL, rel_max_tol=BS_REL_MAX_TOL,
             rel_p99_tol=BS_REL_P99_TOL,
+            cfg_extra=dict(
+                fused_grad=True, prefix_rows=512,
+                residual_budget_rows=1_048_576,
+            ),
         )
         result["bench_scale"] = bs
         ok = ok and bs["pass"]

@@ -64,3 +64,38 @@ def test_native_png_gray16_roundtrip(tmp_path):
     assert back.dtype in (np.uint16, np.int32)
     expect = np.clip(disp * 65535, 0, 65535).astype(np.uint16)
     np.testing.assert_array_equal(back.astype(np.uint16), expect)
+
+
+def test_ply_to_render_full_path(tmp_path):
+    """The full real-checkpoint path at small scale: save_ply -> NATIVE
+    load_ply -> autotune -> render must reproduce the in-memory scene's
+    frame (scripts/ply_roundtrip_tpu.py runs this at garden scale on the
+    TPU; ref flow main.py:721-725 -> renderer draw)."""
+    import jax
+
+    from gaussiansplattingviewer_tpu.config import RenderConfig
+    from gaussiansplattingviewer_tpu.ops.autotune import autotune
+    from gaussiansplattingviewer_tpu.ops.render import render
+    from gaussiansplattingviewer_tpu.utils import transforms as tf
+    from gaussiansplattingviewer_tpu.utils.camera import Camera
+
+    scene = random_scene(3000, sh_degree=2, seed=5, extent=2.0,
+                         mean_scale=0.04)
+    p = str(tmp_path / "point_cloud.ply")
+    save_ply(scene, p)
+    loaded, _, _ = load_ply(p)
+
+    cfg = RenderConfig(width=160, height=96)
+    cam = Camera(h=cfg.height, w=cfg.width)
+    cam.fovy = 1.0
+    eye = np.array([0, 0, 5.0], np.float32)
+    view = np.asarray(tf.look_at(eye, np.zeros(3), [0, -1, 0]), np.float32)
+    proj = np.asarray(cam.get_project_matrix(), np.float32)
+
+    imgs = []
+    for sc in (scene, loaded):
+        tuned = autotune(sc, [view], [proj], [eye], cfg, probe=True)
+        img = render(sc.to_device(), view, proj, eye, tuned,
+                     backend="pallas")
+        imgs.append(np.asarray(img))
+    np.testing.assert_allclose(imgs[1], imgs[0], atol=5e-4)

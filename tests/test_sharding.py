@@ -357,3 +357,57 @@ def test_exchange_train_step_runs():
     scene2, _, loss = step(scene_s, opt_state, view, proj, cam_pos, target)
     assert np.isfinite(float(loss))
     assert not np.allclose(np.asarray(scene2.xyz), np.asarray(scene_s.xyz))
+
+
+@pytest.mark.parametrize("interleaved", [False, True])
+def test_precull_sharded_matches_single_chip(interleaved):
+    """Cheap pre-projection band pre-cull (band_precull_mask) must be
+    conservative: sharded output with precull enabled is BIT-equal to the
+    non-preculled sharded render and fp-close to single chip."""
+    cfg = RenderConfig(width=160, height=160)
+    scene = random_scene(1500, sh_degree=1, seed=4, extent=2.0,
+                         mean_scale=0.06)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    img_ref = np.asarray(
+        render(scene_d, view, proj, cam_pos, cfg, backend="tile")
+    )
+    mesh = make_mesh(8)
+    scene_r = replicate_scene(scene_d, mesh)
+    base = make_sharded_render_fn(
+        mesh, cfg, use_pallas=False, interleaved=interleaved
+    )
+    pc = make_sharded_render_fn(
+        mesh, cfg, use_pallas=False, interleaved=interleaved,
+        precull_budget_factor=2.5,
+    )
+    a = np.asarray(base(scene_r, view, proj, cam_pos))
+    b = np.asarray(pc(scene_r, view, proj, cam_pos))
+    np.testing.assert_array_equal(a, b)
+    np.testing.assert_allclose(b, img_ref, atol=1e-5)
+
+
+def test_precull_train_step_matches():
+    """Gradients flow through the pre-cull compaction (scatter-free VJP):
+    one train step must produce the same loss as without precull."""
+    import optax
+
+    cfg = RenderConfig(width=160, height=160)
+    scene = random_scene(1500, sh_degree=1, seed=4, extent=2.0,
+                         mean_scale=0.06)
+    scene_d, view, proj, cam_pos = _setup(cfg, scene)
+    mesh = make_mesh(8)
+    scene_r = replicate_scene(scene_d, mesh)
+    tgt = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+    opt = optax.adam(1e-3)
+    o0 = opt.init(scene_r)
+    st0 = make_sharded_train_step(mesh, cfg, use_pallas=False)
+    st1 = make_sharded_train_step(
+        mesh, cfg, use_pallas=False, precull_budget_factor=2.5
+    )
+    s0, _, l0 = st0(scene_r, o0, view, proj, cam_pos, tgt)
+    s1, _, l1 = st1(scene_r, o0, view, proj, cam_pos, tgt)
+    assert float(l0) == float(l1)
+    for a, b in zip(jax.tree.leaves(s0), jax.tree.leaves(s1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-6
+        )
