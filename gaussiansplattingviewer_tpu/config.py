@@ -161,6 +161,10 @@ class RenderConfig:
         buffer (~sum of processed chunk rows; autotuned).  Tiles past the
         budget lose their table gradients for the step and are counted in
         the ``grad_overflow`` diagnostic — retune when it fires.
+      grad_residual_budget_rows: same for the residual pass's gradient
+        buffer (0 = the safe bound residual_budget_rows + one chunk per
+        tile — correct but inflates the id fold; the autotuner sets it
+        from the measured unfinished-tile count).
       tight_culling: per-tile exact ellipse/rect alpha test during binning.
         A candidate tile is dropped when max over its pixel centers of
         min(alpha_clamp, opacity * exp(power)) < alpha_min — such tiles
@@ -211,6 +215,7 @@ class RenderConfig:
     prefix_budget_rows: int = 0
     residual_budget_rows: int = 0
     grad_budget_rows: int = 0
+    grad_residual_budget_rows: int = 0
     tight_culling: bool = True
     grad_fold_bf16: bool = True
     debug: bool = False

@@ -312,12 +312,13 @@ def tune_fused(scene, views, projs, cam_positions, cfg: RenderConfig,
             best = (score, k)
     k = best[1]
 
-    kb_m = rb_m = g1_m = 0
+    kb_m = rb_m = g1_m = unfin_m = 0
     for counts, processed, sat in zip(counts_l, proc_l, sat_l):
         if k > 0:
             fin = (counts <= k) | (sat & (processed <= k))
             kb_m = max(kb_m, int(np.minimum(counts, k).sum()))
             rb_m = max(rb_m, int(np.where(fin, 0, counts - k).sum()))
+            unfin_m = max(unfin_m, int(np.count_nonzero(~fin)))
             g1_m = max(g1_m, int(np.minimum(processed, k + chunk).sum()))
         else:
             kb_m = max(kb_m, int(counts.sum()))
@@ -330,6 +331,17 @@ def tune_fused(scene, views, projs, cam_positions, cfg: RenderConfig,
             _round_up(rb_m * margin_residual + 4096, 4096) if k else 0
         ),
         grad_budget_rows=_round_up(g1_m * margin_grad, chunk),
+        # residual-pass gradient buffer: residual rows + up to 2 slack
+        # chunks per unfinished tile (alignment + partial), with margin —
+        # the derived fallback (one chunk per IMAGE tile) is mostly-empty
+        # and inflates the id fold
+        grad_residual_budget_rows=(
+            _round_up(
+                (rb_m + 2 * chunk * (unfin_m + 8)) * margin_grad, chunk
+            )
+            if k
+            else 0
+        ),
     )
     return out
 

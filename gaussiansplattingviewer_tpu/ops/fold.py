@@ -124,9 +124,23 @@ def fold_rows_by_id(
     # ends_i = #rows with id <= i; e_i = ends_i - 1 is the last row of
     # id <= i.  c(e) = coarse_excl[e // BLK] + in_block(e); absent ids
     # difference to zero because their end equals the previous end.
-    ends = jnp.searchsorted(
-        ids_sorted, jnp.arange(1, n + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+    #
+    # ends via ONE combined sort + an inverse-permutation SLICE (total two
+    # 2-operand sorts over G+n).  jnp.searchsorted was measured
+    # catastrophic here at either method: "scan" does log2(G) gather
+    # passes over all n queries (~1.2 s at garden — the r5 fused path's
+    # first-run regression), "sort" still cost 148 ms vs 36 for this.
+    # Key trick: real rows get key id<<1, probe i gets (i<<1)|1, so after
+    # sorting, probe i sits after every real row with id <= i at position
+    # ends_i + i; the probes' positions are a CONTIGUOUS slice of the
+    # inverse permutation (their original indices are the tail).
+    iota_n = jnp.arange(n, dtype=jnp.int32)
+    keys2 = jnp.concatenate([ids << 1, (iota_n << 1) | 1])
+    mext = gcap + n
+    iota_ext = jnp.arange(mext, dtype=jnp.int32)
+    _, pay = jax.lax.sort((keys2, iota_ext), num_keys=1)
+    _, inv = jax.lax.sort((pay, iota_ext), num_keys=1)
+    ends = inv[gcap:] - iota_n  # (n,) = #real rows with id <= i
     in_ext = jnp.concatenate(
         [jnp.zeros((1, w), jnp.float32), in_csum.reshape(m, w)]
     )

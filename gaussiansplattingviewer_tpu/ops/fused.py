@@ -66,8 +66,12 @@ def _ragged_src(starts_c, shift, cap, budget):
     gradients are zero.
     """
     i = jnp.arange(budget, dtype=jnp.int32)
+    # method="sort": ONE 2-operand sort of (boundaries ++ queries).  The
+    # default "scan" binary search does log2(T) GATHER passes over ALL
+    # queries — measured catastrophic at millions of queries on TPU
+    # (~9 ns/row per pass; +500 ms at garden scale).
     t = jnp.searchsorted(
-        starts_c.astype(jnp.int32), i, side="right"
+        starts_c.astype(jnp.int32), i, side="right", method="sort"
     ).astype(jnp.int32) - 1
     t = jnp.clip(t, 0, shift.shape[0] - 1)
     return jnp.clip(i + shift[t], 0, cap - 1)
@@ -88,6 +92,17 @@ def _pad_table(tb):
     return jnp.concatenate(
         [tb, jnp.zeros((TABLE_WIDTH, TABLE_PAD), jnp.float32)], axis=1
     )
+
+
+def _grad_budget2(cfg: RenderConfig, num_tiles: int) -> int:
+    """Static compact-gradient budget for the RESIDUAL pass:
+    cfg.grad_residual_budget_rows if set (autotuned ~ unfinished tiles +
+    slack), else the safe bound residual rows + one chunk per tile —
+    correct but mostly-empty, inflating the id fold."""
+    b = cfg.grad_residual_budget_rows or (
+        int(cfg.residual_budget_rows) + (num_tiles + 1) * KERNEL_CHUNK
+    )
+    return -(-b // KERNEL_CHUNK) * KERNEL_CHUNK
 
 
 def _grad_budget(cfg: RenderConfig, table_rows: int, num_tiles: int) -> int:
@@ -138,10 +153,15 @@ def _forward(cfg, local_rows, row_stride, table_src, rows_sorted,
     ptrunc = jnp.maximum(pstarts[num_tiles] - kb, 0)
     pstarts_c = jnp.minimum(pstarts, kb)
     pcounts = jnp.diff(pstarts_c)
-    src1 = _ragged_src(
-        pstarts_c, starts_full[:-1] - pstarts_c[:-1], cap, kb
-    )
-    rows1 = rows_sorted[src1]
+    if k > 0:
+        src1 = _ragged_src(
+            pstarts_c, starts_full[:-1] - pstarts_c[:-1], cap, kb
+        )
+        rows1 = rows_sorted[src1]
+    else:
+        # K disabled: prefix positions are the sorted order itself (the
+        # classic budgeted slice) — no index machinery
+        rows1 = rows_sorted[:kb]
     table1 = _pad_table(ts_id[rows1].T)
 
     if train:
@@ -285,10 +305,7 @@ def _blend_fused_fwd(cfg, local_rows, row_stride, table_src, rows_sorted,
     need, dropped = need1, drop1
     pass2 = None
     if k > 0:
-        g2_budget = -(
-            -(int(cfg.residual_budget_rows) + (num_tiles + 1) * KERNEL_CHUNK)
-            // KERNEL_CHUNK
-        ) * KERNEL_CHUNK
+        g2_budget = _grad_budget2(cfg, num_tiles)
         np2, goff2, need2, drop2 = regions(
             f["rstarts_c"], f["rcounts"], f["nproc2"], g2_budget
         )
@@ -330,10 +347,7 @@ def _blend_fused_bwd(cfg, local_rows, row_stride, res, cotangents):
 
     if pass2 is not None:
         (table2, rstarts_c, rcounts, ckpt2, np2, goff2, rgb2) = pass2
-        g2_budget = -(
-            -(int(cfg.residual_budget_rows) + (num_tiles + 1) * KERNEL_CHUNK)
-            // KERNEL_CHUNK
-        ) * KERNEL_CHUNK
+        g2_budget = _grad_budget2(cfg, num_tiles)
         g2_rows = blend_bwd_fused(
             table2, rstarts_c, rcounts, np2, goff2, ckpt2, row_offset,
             g_rgb, g_trans, trans, jnp.zeros((num_tiles, p), jnp.float32),

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--garden", action="store_true",
                     help="garden-scale scene (5.8M anisotropic splats)")
     ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--fused", action="store_true",
+                    help="bisect the FUSED super-op path (ops/fused.py): "
+                    "stages full / splat / tsrc with blend_fused inside")
     args = ap.parse_args()
 
     import jax
@@ -61,9 +64,12 @@ def main():
     view = jnp.asarray(tf.look_at(eye, np.zeros(3), [0, -1, 0]))
     proj = jnp.asarray(cam.get_project_matrix())
     cam_pos = jnp.asarray(eye.astype(np.float32))
-    cfg = autotune(scene, [view], [proj], [cam_pos], cfg, probe=True)
-    print(f"tuned: k1={cfg.dense_small_slots} ladder={cfg.pool_ladder} "
-          f"rows={cfg.table_budget_rows}", flush=True)
+    cfg = autotune(scene, [view], [proj], [cam_pos], cfg, probe=True,
+                   fused=(True if args.fused else False))
+    print(f"tuned: k1={cfg.dense_small_slots} rows={cfg.table_budget_rows} "
+          f"fused={cfg.fused_grad} K={cfg.prefix_rows} "
+          f"kb={cfg.prefix_budget_rows} rb={cfg.residual_budget_rows} "
+          f"gb={cfg.grad_budget_rows}", flush=True)
 
     lr = 1e-12
 
@@ -85,9 +91,35 @@ def main():
     def from_scene(sc):
         return from_splats(project(sc, view, proj, cam_pos, cfg))
 
-    splats0 = jax.jit(
-        lambda sc: project(sc, view, proj, cam_pos, cfg)
-    )(scene)
+    if args.fused:
+        from gaussiansplattingviewer_tpu.ops.fused import blend_fused
+
+        def from_tsrc(tsrc, rows_sorted, starts_full):
+            rgb_t, tr_t, _ = blend_fused(
+                cfg, cfg.tiles_y, 1, tsrc, rows_sorted, starts_full,
+                jnp.int32(0),
+            )
+            return img_loss_from_tiles(rgb_t, tr_t)
+
+        def from_splats_fused(sp):
+            pres = binning.bin_splats_presort(sp, cfg)
+            return from_tsrc(
+                pres.table_src, pres.rows_sorted, pres.starts_full
+            )
+
+        def from_scene_fused(sc):
+            return from_splats_fused(project(sc, view, proj, cam_pos, cfg))
+
+        splats0 = jax.jit(
+            lambda sc: project(sc, view, proj, cam_pos, cfg)
+        )(scene)
+        pres0 = jax.jit(
+            lambda sp: binning.bin_splats_presort(sp, cfg)
+        )(splats0)
+    else:
+        splats0 = jax.jit(
+            lambda sc: project(sc, view, proj, cam_pos, cfg)
+        )(scene)
     binned0 = jax.jit(
         lambda sp: binning.bin_splats(sp, cfg)
     )(splats0)
@@ -156,22 +188,37 @@ def main():
         return (time.perf_counter() - t0) / ITERS * 1000
 
     results = {}
-    cases = [
-        ("table_fwd", scan_fwd(lambda t: from_table(t, starts0, counts0)), table0),
-        ("table", scan_train(lambda t: from_table(t, starts0, counts0)), table0),
-        ("splat_fwd", scan_fwd(from_splats), splats0),
-        ("splat", scan_train(from_splats), splats0),
-        ("full_fwd", scan_fwd(from_scene), scene),
-        ("full", scan_train(from_scene), scene),
-    ]
+    if args.fused:
+        rs0, sf0 = pres0.rows_sorted, pres0.starts_full
+        cases = [
+            ("table_fwd", scan_fwd(lambda t: from_tsrc(t, rs0, sf0)),
+             pres0.table_src),
+            ("table", scan_train(lambda t: from_tsrc(t, rs0, sf0)),
+             pres0.table_src),
+            ("splat_fwd", scan_fwd(from_splats_fused), splats0),
+            ("splat", scan_train(from_splats_fused), splats0),
+            ("full_fwd", scan_fwd(from_scene_fused), scene),
+            ("full", scan_train(from_scene_fused), scene),
+        ]
+    else:
+        cases = [
+            ("table_fwd", scan_fwd(lambda t: from_table(t, starts0, counts0)), table0),
+            ("table", scan_train(lambda t: from_table(t, starts0, counts0)), table0),
+            ("splat_fwd", scan_fwd(from_splats), splats0),
+            ("splat", scan_train(from_splats), splats0),
+            ("full_fwd", scan_fwd(from_scene), scene),
+            ("full", scan_train(from_scene), scene),
+        ]
     for name, fn, arg in cases:
         results[name] = t = timeit(fn, arg)
         print(f"{name:10s} {t:7.1f} ms/iter", flush=True)
 
     r = results
-    print(f"\nblend fwd      {r['table_fwd']:7.1f}")
-    print(f"blend bwd      {r['table'] - r['table_fwd']:7.1f}")
-    print(f"bin fwd        {r['splat_fwd'] - r['table_fwd']:7.1f}")
+    lbl = "gather+blend" if args.fused else "blend"
+    binlbl = "presort" if args.fused else "bin fwd"
+    print(f"\n{lbl} fwd   {r['table_fwd']:7.1f}")
+    print(f"{lbl} bwd   {r['table'] - r['table_fwd']:7.1f}")
+    print(f"{binlbl}        {r['splat_fwd'] - r['table_fwd']:7.1f}")
     print(f"fold+pack vjp  {(r['splat'] - r['splat_fwd']) - (r['table'] - r['table_fwd']):7.1f}")
     print(f"proj fwd       {r['full_fwd'] - r['splat_fwd']:7.1f}")
     print(f"proj bwd       {(r['full'] - r['full_fwd']) - (r['splat'] - r['splat_fwd']):7.1f}")

@@ -199,7 +199,7 @@ def main():
         for i in range(n_dev):
             t_send.append(bench(send, shards[i]))
             parts.append(jax.tree.map(np.asarray, send(shards[i])))
-        t_shards, comm_bytes = [], []
+        t_shards, t_recvs, comm_bytes = [], [], []
         for i in range(n_dev):
             rows_rx = jnp.asarray(
                 np.concatenate([p[0][i] for p in parts], axis=0)
@@ -208,12 +208,13 @@ def main():
                 [p[1][i] for p in parts], axis=0
             ))
             t_recv = bench(recv, rows_rx, valid_rx, jnp.int32(i))
+            t_recvs.append(t_recv)
             t_shards.append(t_send[i] + t_recv)
             # bytes this chip sends to OTHERS (local slice stays put)
             per_dest = parts[i][0][0].nbytes + parts[i][1][0].nbytes * 2
             comm_bytes.append(per_dest * (n_dev - 1))
         comm_s = max(comm_bytes) / (ICI_GBPS * 1e9)
-        return t_shards, comm_s, max(comm_bytes)
+        return t_shards, t_send, t_recvs, comm_s, max(comm_bytes)
 
     t1 = None
     for n_dev in (1, 2, 4, 8):
@@ -265,7 +266,9 @@ def main():
 
     for n_dev in (2, 4, 8):
       for interleaved in (False, True):
-        t_shards, comm_s, mbytes = exchange_run(n_dev, interleaved)
+        t_shards, t_sends, t_recvs, comm_s, mbytes = exchange_run(
+            n_dev, interleaved
+        )
         t_max = max(t_shards)
         t_tot = t_max + comm_s
         balance_eff = sum(t_shards) / (n_dev * t_tot)
@@ -274,6 +277,8 @@ def main():
         results["runs"].append({
             "n_dev": n_dev, "assignment": f"exchange-{kind}",
             "shard_ms": [round(t * 1e3, 2) for t in t_shards],
+            "send_ms": [round(t * 1e3, 2) for t in t_sends],
+            "recv_ms": [round(t * 1e3, 2) for t in t_recvs],
             "modeled_ici_ms": round(comm_s * 1e3, 2),
             "ici_gbps_assumed": ICI_GBPS,
             "max_send_bytes": int(mbytes),
