@@ -251,7 +251,7 @@ _FUSED_K_GRID = (256, 512, 1024, 2048, 4096, 8192)
 def tune_fused(scene, views, projs, cam_positions, cfg: RenderConfig,
                fused: bool | None = None, max_probe_poses: int = 4,
                margin_prefix: float = 1.15, margin_residual: float = 1.5,
-               margin_grad: float = 1.3) -> RenderConfig:
+               margin_grad: float = 1.15) -> RenderConfig:
     """Decide and size the fused prefix/residual/compact-grad path
     (ops/fused.py) from measured per-tile saturation.
 
