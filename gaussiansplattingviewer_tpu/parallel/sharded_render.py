@@ -383,11 +383,30 @@ def _render_band(scene, view, proj, cam_pos, cfg: RenderConfig, rows: int,
         n_all = mask.shape[0]
         frac = min(1.0, rows / cfg.tiles_y * precull_budget_factor)
         budget = _round_budget(int(n_all * frac), n_all)
-        scene, kept, _ = compact_by_mask(scene, mask, budget)
-        # mask the tail by zeroing opacity (project treats it as padding)
+        # ONE wide row gather instead of five per-leaf gathers: row-gather
+        # cost is per CALL (~7 ns/row regardless of width), so per-leaf
+        # compaction made pre-cull a net loss on hardware at 8 shards.
+        # Assemble the (N, 11+sh) view via transposes (measured ~free on
+        # TPU) + a major-axis concat, never a minor-dim stack.
+        sh_dim = scene.sh.shape[1]
+        wide = jnp.concatenate(
+            [scene.xyz.T, scene.rot.T, scene.scale.T,
+             scene.opacity.reshape(1, -1) if scene.opacity.ndim == 1
+             else scene.opacity.T,
+             scene.sh.T],
+            axis=0,
+        ).T  # (N, 11 + sh_dim)
+        (wide_c,), kept, _ = compact_by_mask((wide,), mask, budget)
+        op_c = jnp.where(kept[:, None], wide_c[:, 10:11], 0.0)
         scene = dataclasses.replace(
             scene,
-            opacity=jnp.where(kept[:, None], scene.opacity, 0.0),
+            xyz=wide_c[:, 0:3],
+            rot=wide_c[:, 3:7],
+            scale=wide_c[:, 7:10],
+            # tail rows beyond the kept count are masked via opacity
+            # (project treats opacity 0 as padding)
+            opacity=op_c,
+            sh=wide_c[:, 11 : 11 + sh_dim],
         )
         band_budget_factor = None
 

@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--width", type=int, default=None)
     ap.add_argument("--height", type=int, default=None)
     ap.add_argument("--iters", type=int, default=None)
+    ap.add_argument("--skip-exchange", action="store_true",
+                    help="skip the exchange-mode rows (slow); prior "
+                    "exchange rows are carried over from an existing "
+                    "output file")
     args = ap.parse_args()
 
     import jax
@@ -264,7 +268,18 @@ def main():
                 flush=True,
             )
 
-    for n_dev in (2, 4, 8):
+    prior_exchange = []
+    name_prev = "SCALING_TPU.json" if on_tpu else "SCALING.json"
+    prev_path = os.path.join(os.path.dirname(__file__), "..", name_prev)
+    if args.skip_exchange and os.path.exists(prev_path):
+        with open(prev_path) as f:
+            prior_exchange = [
+                r for r in json.load(f).get("runs", [])
+                if str(r.get("assignment", "")).startswith("exchange")
+            ]
+        results["runs"].extend(prior_exchange)
+        results["exchange_carried_over"] = True
+    for n_dev in () if args.skip_exchange else (2, 4, 8):
       for interleaved in (False, True):
         t_shards, t_sends, t_recvs, comm_s, mbytes = exchange_run(
             n_dev, interleaved
