@@ -236,7 +236,12 @@ def probe_forward(splats, cfg: RenderConfig):
 
     pres = bin_splats_presort(splats, cfg)
     counts = jnp.diff(pres.starts_full)
-    cfg0 = cfg.with_(prefix_rows=0)
+    # clear ALL fused budgets: a re-tune of an already-fused config must
+    # probe the FULL table, not a truncating prefix budget
+    cfg0 = cfg.with_(
+        prefix_rows=0, prefix_budget_rows=0, residual_budget_rows=0,
+        grad_budget_rows=0, grad_residual_budget_rows=0,
+    )
     f = _forward(
         cfg0, cfg.tiles_y, 1, pres.table_src, pres.rows_sorted,
         pres.starts_full, jnp.int32(0), train=True,
