@@ -45,6 +45,7 @@ import jax.numpy as jnp
 
 from gaussiansplattingviewer_tpu.config import RenderConfig, RenderMode
 from gaussiansplattingviewer_tpu.ops.projection import ProjectedSplats
+from gaussiansplattingviewer_tpu.ops.stride_gather import gather_rows_strided
 
 # Row layout of the packed splat table (lane-padded to 16 floats):
 # [cx, cy, conic_a, conic_b, conic_c, r, g, b, opacity, rx, ry, depth,
@@ -370,7 +371,11 @@ def _gather_table_rows_bwd(levels, res, g):
         ]
         parts.append(jnp.zeros((1, width), jnp.float32))
         gp = jnp.concatenate(parts, axis=0)  # (total_pool + 1, 9)
-        routed = gp[jnp.minimum(big_pos, total_pool)]  # (n, 9)
+        # big_pos is mostly the constant sentinel with embedded ascending
+        # tier-rank runs — stride-interleave it like every monotone stream
+        routed = gather_rows_strided(
+            gp, jnp.minimum(big_pos, total_pool)
+        )  # (n, 9)
         g1_cols = [c + routed[:, j] for j, c in enumerate(g1_cols)]
     # (n, 16) cotangent for ``pack``: N-scale stack (cheap — the
     # pathological relayouts are at cap scale, not N scale)
@@ -658,7 +663,11 @@ def _prepare_binning(
         return v
 
     def entry_fields(ids):
-        rows = table_src[ids]  # ONE row gather per pool entry
+        # ONE row gather per pool entry; ids come from the STABLE
+        # partition argsort, so they ascend within every tier — the
+        # stride interleave dodges the monotone-query gather penalty
+        # (ops/stride_gather, ~38.5 -> 22 ns/row on big tiers)
+        rows = gather_rows_strided(table_src, ids)
         v = dict(
             x0=rows[:, COL_X0].astype(jnp.int32),
             y0=rows[:, COL_Y0].astype(jnp.int32),

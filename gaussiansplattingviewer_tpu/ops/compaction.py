@@ -29,6 +29,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from gaussiansplattingviewer_tpu.ops.stride_gather import gather_rows_strided
+
 
 def _invert_permutation(perm: jax.Array) -> jax.Array:
     n = perm.shape[0]
@@ -42,12 +44,17 @@ def _take_rows(budget, x, sel, inv_perm):
 
     sel is a permutation of [0, n) with the selected rows first; inv_perm
     its inverse.  Rows of x whose rank >= budget get zero gradient.
+
+    Both directions gather with ASCENDING small-step index streams (sel's
+    selected prefix / inv_perm's rank sequence are monotone from the
+    stable partition), so they run stride-interleaved — see
+    ops/stride_gather for the measured 1.7x monotone-query penalty.
     """
-    return x[sel[:budget]]
+    return gather_rows_strided(x, sel[:budget])
 
 
 def _take_rows_fwd(budget, x, sel, inv_perm):
-    return x[sel[:budget]], (inv_perm,)
+    return gather_rows_strided(x, sel[:budget]), (inv_perm,)
 
 
 def _take_rows_bwd(budget, res, g):
@@ -55,7 +62,7 @@ def _take_rows_bwd(budget, res, g):
     zero = jnp.zeros_like(g[:1])
     g_ext = jnp.concatenate([g, zero], axis=0)
     idx = jnp.minimum(inv_perm, budget)  # dropped rows -> zero row
-    return g_ext[idx], None, None
+    return gather_rows_strided(g_ext, idx), None, None
 
 
 _take_rows.defvjp(_take_rows_fwd, _take_rows_bwd)
@@ -89,7 +96,7 @@ def compact_by_mask(tree, mask: jax.Array, budget: int):
     def take(leaf):
         if jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.inexact):
             return _take_rows(budget, leaf, sel, inv_perm)
-        return jnp.asarray(leaf)[sel[:budget]]
+        return gather_rows_strided(jnp.asarray(leaf), sel[:budget])
 
     compact = jax.tree.map(take, tree)
     return compact, kept, dropped

@@ -34,6 +34,10 @@ import jax
 import jax.numpy as jnp
 
 from gaussiansplattingviewer_tpu.ops import binning
+from gaussiansplattingviewer_tpu.ops.stride_gather import (
+    stride_perm_iota,
+    unpermute_rows,
+)
 
 _BLK = 128  # in-block cumsum width (one lane tile)
 
@@ -91,7 +95,7 @@ def fold_rows_by_id(
         w = 10
 
     # --- 2. order by id; one row gather brings the payload along
-    ids_sorted, order = jax.lax.sort(
+    _, order = jax.lax.sort(
         (ids, jnp.arange(gcap, dtype=jnp.int32)), num_keys=1
     )
     taken = vals_src[order]
@@ -105,15 +109,12 @@ def fold_rows_by_id(
     else:
         vals = taken
 
-    # --- 3. blocked prefix sums; pad m to a block multiple (padded ids =
-    # n sort past every query, padded grads are zero)
+    # --- 3. blocked prefix sums; pad m to a block multiple (padded grads
+    # are zero, so they never perturb a prefix)
     m = -(-gcap // _BLK) * _BLK
     if m != gcap:
         vals = jnp.concatenate(
             [vals, jnp.zeros((m - gcap, w), jnp.float32)]
-        )
-        ids_sorted = jnp.concatenate(
-            [ids_sorted, jnp.full((m - gcap,), n, jnp.int32)]
         )
     mb = m // _BLK
     in_csum = jnp.cumsum(vals.reshape(mb, _BLK, w), axis=1)
@@ -134,13 +135,22 @@ def fold_rows_by_id(
     # sorting, probe i sits after every real row with id <= i at position
     # ends_i + i; the probes' positions are a CONTIGUOUS slice of the
     # inverse permutation (their original indices are the tail).
-    iota_n = jnp.arange(n, dtype=jnp.int32)
-    keys2 = jnp.concatenate([ids << 1, (iota_n << 1) | 1])
-    mext = gcap + n
+    #
+    # The probes are emitted in STRIDE-INTERLEAVED id order
+    # (ops/stride_gather): ends is non-decreasing in i, and monotone
+    # small-step query streams pay the 1.7x gather penalty (~183 ms at
+    # garden, the fold's measured floor in r5).  Probe j carries id
+    # perm[j]; probe values are distinct, so its sorted position is
+    # ends(perm[j]) + perm[j] and the big gathers below run at the
+    # random-stream rate; one free transpose restores splat order.
+    perm_i = stride_perm_iota(n)  # (n_p,) with n_p = A*B >= n
+    n_p = perm_i.shape[0]
+    keys2 = jnp.concatenate([ids << 1, (perm_i << 1) | 1])
+    mext = gcap + n_p
     iota_ext = jnp.arange(mext, dtype=jnp.int32)
     _, pay = jax.lax.sort((keys2, iota_ext), num_keys=1)
     _, inv = jax.lax.sort((pay, iota_ext), num_keys=1)
-    ends = inv[gcap:] - iota_n  # (n,) = #real rows with id <= i
+    ends_s = inv[gcap:] - perm_i  # (n_p,) = #real rows with id <= perm[j]
     in_ext = jnp.concatenate(
         [jnp.zeros((1, w), jnp.float32), in_csum.reshape(m, w)]
     )
@@ -150,9 +160,11 @@ def fold_rows_by_id(
             jnp.concatenate([co_hi, co_lo], axis=1),
         ]
     )  # (mb + 1, 2w): row k+1 = inclusive coarse of block k
-    e_in = in_ext[ends]  # (n, w): in-block inclusive at e_i (0 if ends=0)
-    co_idx = jnp.maximum((ends - 1) // _BLK, 0)  # block of e_i; 0 -> row 0
-    e_co = co_pack[co_idx]  # coarse EXCLUSIVE of e_i's block (hi | lo)
+    co_idx_s = jnp.maximum((ends_s - 1) // _BLK, 0)  # block of e_i
+    # in-block inclusive at e_i (0 if ends=0) | coarse EXCLUSIVE of its
+    # block — gathered in strided order, un-permuted by free transposes
+    e_in = unpermute_rows(in_ext[ends_s], n)
+    e_co = unpermute_rows(co_pack[co_idx_s], n)
 
     def prev(a):
         return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]])

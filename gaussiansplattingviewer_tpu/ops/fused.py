@@ -54,18 +54,28 @@ from gaussiansplattingviewer_tpu.ops.binning import (
     TABLE_WIDTH,
 )
 from gaussiansplattingviewer_tpu.ops.fold import fold_rows_by_id
+from gaussiansplattingviewer_tpu.ops.stride_gather import (
+    stride_perm_iota,
+    unpermute_rows,
+)
 
 
-def _ragged_src(starts_c, shift, cap, budget):
-    """Source indices for a budgeted ragged per-tile gather.
+def _ragged_rows(starts_c, shift, rows_sorted, budget):
+    """Budgeted ragged per-tile gather of ``rows_sorted``.
 
     Output position i belongs to tile t (the rightmost with
     starts_c[t] <= i); its source index is i + shift[t].  Positions past
     the last tile's segment read a clamped (dead) index — they sit outside
     every [starts_c[t], starts_c[t+1]) so the kernels mask them and their
     gradients are zero.
+
+    The query stream runs in STRIDE-INTERLEAVED order (ops/stride_gather):
+    i + shift[t] ascends tile by tile, and monotone small-step gathers pay
+    the measured 1.7x penalty; the interleave gets the random-stream rate
+    and a free transpose restores natural order.
     """
-    i = jnp.arange(budget, dtype=jnp.int32)
+    cap = rows_sorted.shape[0]
+    i = stride_perm_iota(budget)  # padded grid; tail positions are dead
     # method="sort": ONE 2-operand sort of (boundaries ++ queries).  The
     # default "scan" binary search does log2(T) GATHER passes over ALL
     # queries — measured catastrophic at millions of queries on TPU
@@ -74,7 +84,8 @@ def _ragged_src(starts_c, shift, cap, budget):
         starts_c.astype(jnp.int32), i, side="right", method="sort"
     ).astype(jnp.int32) - 1
     t = jnp.clip(t, 0, shift.shape[0] - 1)
-    return jnp.clip(i + shift[t], 0, cap - 1)
+    src = jnp.clip(i + shift[t], 0, cap - 1)
+    return unpermute_rows(rows_sorted[src], budget)
 
 
 def _num_chunks(starts_c, counts):
@@ -154,10 +165,9 @@ def _forward(cfg, local_rows, row_stride, table_src, rows_sorted,
     pstarts_c = jnp.minimum(pstarts, kb)
     pcounts = jnp.diff(pstarts_c)
     if k > 0:
-        src1 = _ragged_src(
-            pstarts_c, starts_full[:-1] - pstarts_c[:-1], cap, kb
+        rows1 = _ragged_rows(
+            pstarts_c, starts_full[:-1] - pstarts_c[:-1], rows_sorted, kb
         )
-        rows1 = rows_sorted[src1]
     else:
         # K disabled: prefix positions are the sorted order itself (the
         # classic budgeted slice) — no index machinery
@@ -197,10 +207,9 @@ def _forward(cfg, local_rows, row_stride, table_src, rows_sorted,
     rtrunc = jnp.maximum(rstarts[num_tiles] - rb, 0)
     rstarts_c = jnp.minimum(rstarts, rb)
     rcounts = jnp.diff(rstarts_c)
-    src2 = _ragged_src(
-        rstarts_c, starts_full[:-1] + k - rstarts_c[:-1], cap, rb
+    rows2 = _ragged_rows(
+        rstarts_c, starts_full[:-1] + k - rstarts_c[:-1], rows_sorted, rb
     )
-    rows2 = rows_sorted[src2]
     table2 = _pad_table(ts_id[rows2].T)
 
     res2 = rasterize_binned_pallas_seeded(
