@@ -23,7 +23,10 @@ buffer of the fused super-op, ops/fused.py):
   4. per-splat totals = c(end_i) - c(end_{i-1}) with the coarse (block)
      part differenced in double-f32 via an exact TwoSum-based diff, using
      TWO n-row gathers (in-block values + packed coarse hi/lo) — no
-     sentinel rows; absent ids difference to exactly zero.
+     sentinel rows; absent ids difference to exactly zero.  Both gathers
+     run in STRIDE-INTERLEAVED order (ops/stride_gather): `ends` is
+     non-decreasing, and monotone small-step query streams pay a
+     measured 1.7x gather penalty that the interleave dodges.
 
 No scatter anywhere; every op is jit/shard_map-safe and runs on CPU.
 """

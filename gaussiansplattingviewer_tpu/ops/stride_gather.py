@@ -30,14 +30,21 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_A = 2048  # interleave ways (power of two: j % A == j & (A-1))
-_A_LOG2 = _A.bit_length() - 1
-_MIN_ROWS = 262_144  # below this the penalty delta is < ~1 ms: skip
+_B_MIN = 2048  # minimum inter-query jump (what defeats the penalty)
+_MIN_ROWS = 65_536  # below this the penalty delta is < ~1 ms: skip
 
 
 def _grid(length: int) -> tuple[int, int]:
-    b = -(-length // _A)
-    return _A, b
+    """(A, B) with perm[j] = (j % A) * B + j // A: runs of A queries,
+    each B index-positions past the previous.  B (the jump) is what
+    defeats the small-step penalty, so it is pinned >= _B_MIN even for
+    small arrays (A shrinks instead); at garden scale this reproduces
+    the measured-fast (A=2048, B=2833) grid.  A is not required to be a
+    power of two — XLA strength-reduces %/÷ by STATIC constants (only
+    traced divisors are bit-serial on TPU)."""
+    b = max(_B_MIN, -(-length // _B_MIN))
+    a = -(-length // b)
+    return a, b
 
 
 def stride_perm_iota(length: int) -> jnp.ndarray:
@@ -48,7 +55,7 @@ def stride_perm_iota(length: int) -> jnp.ndarray:
     undo with :func:`unpermute_rows` (then slice ``[:length]``)."""
     a, b = _grid(length)
     j = jnp.arange(a * b, dtype=jnp.int32)
-    return (j & jnp.int32(a - 1)) * jnp.int32(b) + (j >> jnp.int32(_A_LOG2))
+    return (j % jnp.int32(a)) * jnp.int32(b) + j // jnp.int32(a)
 
 
 def permute_queries(idx: jnp.ndarray) -> jnp.ndarray:
